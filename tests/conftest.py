@@ -1,0 +1,23 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths
+# compile and execute in CI without TPU hardware (SURVEY.md §4). The axon
+# TPU plugin in this image ignores JAX_PLATFORMS, so we force the platform
+# through jax.config before any backend is initialized.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

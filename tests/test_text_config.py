@@ -1,0 +1,58 @@
+"""Text frontend + config loader tests (reference meldataset.py:23-45,
+Configs/config.yml)."""
+
+import numpy as np
+
+from styletts2_tpu import text as T
+from styletts2_tpu.config import Config, load_config
+
+
+def test_symbol_table_size_and_pad():
+    assert T.N_SYMBOLS == 178
+    assert T.SYMBOLS[0] == "$"
+    assert T.SYMBOL_TO_ID["$"] == 0
+    assert T.SYMBOL_TO_ID[" "] == 16
+    assert T.SYMBOL_TO_ID["A"] == 17
+    assert T.SYMBOL_TO_ID["a"] == 43
+
+
+def test_cleaner_skips_unknown():
+    ids = T.TextCleaner()("a€b")  # € not in table
+    assert ids == [T.SYMBOL_TO_ID["a"], T.SYMBOL_TO_ID["b"]]
+
+
+def test_encode_and_pad_batch():
+    a = T.encode_text("ab")
+    assert a.tolist()[0] == 0 and len(a) == 3
+    toks, lens = T.pad_token_batch([a, T.encode_text("a")])
+    assert toks.shape == (2, 3)
+    assert lens.tolist() == [3, 2]
+    assert toks[1, 2] == 0
+
+
+def test_reference_config_loads():
+    cfg = load_config("/root/reference/Configs/config.yml")
+    assert cfg.model_params.hidden_dim == 512
+    assert cfg.model_params.style_dim == 128
+    assert cfg.model_params.decoder.type == "istftnet"
+    assert cfg.model_params.decoder.gen_istft_n_fft == 20
+    assert cfg.model_params.diffusion.dist.mean == -3.0
+    assert cfg.model_params.slm.nlayers == 13
+    assert cfg.loss_params.lambda_ce == 20.0
+    assert cfg.slmadv_params.sig == 1.5
+    assert cfg.preprocess_params.spect_params.hop_length == 300
+    assert cfg.max_len == 400
+
+
+def test_reference_libritts_config_loads():
+    cfg = load_config("/root/reference/Configs/config_libritts.yml")
+    assert cfg.model_params.multispeaker is True
+    assert cfg.max_len == 300
+    assert cfg.model_params.decoder.type == "hifigan"
+
+
+def test_default_config_roundtrip():
+    cfg = Config()
+    d = cfg.to_dict()
+    cfg2 = Config.from_dict(d)
+    assert cfg2.model_params.decoder.upsample_rates == [10, 6]
