@@ -1,0 +1,165 @@
+"""Model assembly: build the named-module dict and init/apply helpers.
+
+Mirrors the reference build_model (models.py:614-694) module keys so stage
+handoff and checkpoint conversion are 1:1:
+  bert, bert_encoder, predictor, decoder, text_encoder, predictor_encoder,
+  style_encoder, diffusion (+ text_aligner, pitch_extractor, mpd, msd, wd
+  added by the training stack).
+
+Functional style: `Models` holds flax module *definitions*; parameters live
+in a plain dict {module_key: variables} — the pytree analog of the reference's
+Munch of nn.Modules, natural for per-module optax transforms and pjit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from styletts2_tpu.config import Config, ModelParams
+from styletts2_tpu.models.decoder_istft import Decoder as ISTFTNetDecoder
+from styletts2_tpu.models.diffusion.denoiser import StyleTransformer1d
+from styletts2_tpu.models.plbert import PLBERT
+from styletts2_tpu.models.predictor import ProsodyPredictor
+from styletts2_tpu.models.style_encoder import StyleEncoder
+from styletts2_tpu.models.text_encoder import TextEncoder
+
+
+class BertEncoder(nn.Module):
+    """Linear 768 -> hidden_dim projection (models.py:674)."""
+
+    hidden_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.hidden_dim, name="proj")(x)
+
+
+@dataclasses.dataclass
+class Models:
+    text_encoder: TextEncoder
+    bert: PLBERT
+    bert_encoder: BertEncoder
+    predictor: ProsodyPredictor
+    style_encoder: StyleEncoder
+    predictor_encoder: StyleEncoder
+    decoder: Any
+    diffusion: StyleTransformer1d
+    args: ModelParams
+
+
+def build_models(cfg: Config) -> Models:
+    mp = cfg.model_params
+    if mp.decoder.type == "istftnet":
+        decoder = ISTFTNetDecoder(
+            dim_in=mp.hidden_dim,
+            style_dim=mp.style_dim,
+            resblock_kernel_sizes=tuple(mp.decoder.resblock_kernel_sizes),
+            upsample_rates=tuple(mp.decoder.upsample_rates),
+            upsample_initial_channel=mp.decoder.upsample_initial_channel,
+            resblock_dilation_sizes=tuple(map(tuple, mp.decoder.resblock_dilation_sizes)),
+            upsample_kernel_sizes=tuple(mp.decoder.upsample_kernel_sizes),
+            gen_istft_n_fft=mp.decoder.gen_istft_n_fft,
+            gen_istft_hop_size=mp.decoder.gen_istft_hop_size,
+        )
+    elif mp.decoder.type == "hifigan":
+        from styletts2_tpu.models.decoder_hifigan import Decoder as HiFiGANDecoder
+
+        decoder = HiFiGANDecoder(
+            dim_in=mp.hidden_dim,
+            style_dim=mp.style_dim,
+            resblock_kernel_sizes=tuple(mp.decoder.resblock_kernel_sizes),
+            upsample_rates=tuple(mp.decoder.upsample_rates),
+            upsample_initial_channel=mp.decoder.upsample_initial_channel,
+            resblock_dilation_sizes=tuple(map(tuple, mp.decoder.resblock_dilation_sizes)),
+            upsample_kernel_sizes=tuple(mp.decoder.upsample_kernel_sizes),
+        )
+    else:
+        raise ValueError(f"unknown decoder type {mp.decoder.type}")
+
+    return Models(
+        text_encoder=TextEncoder(
+            channels=mp.hidden_dim,
+            kernel_size=5,
+            depth=mp.n_layer,
+            n_symbols=mp.n_token,
+        ),
+        bert=PLBERT(cfg.plbert_params),
+        bert_encoder=BertEncoder(mp.hidden_dim),
+        predictor=ProsodyPredictor(
+            style_dim=mp.style_dim,
+            d_hid=mp.hidden_dim,
+            nlayers=mp.n_layer,
+            max_dur=mp.max_dur,
+            dropout_rate=mp.dropout,
+        ),
+        style_encoder=StyleEncoder(
+            dim_in=mp.dim_in, style_dim=mp.style_dim, max_conv_dim=mp.hidden_dim
+        ),
+        predictor_encoder=StyleEncoder(
+            dim_in=mp.dim_in, style_dim=mp.style_dim, max_conv_dim=mp.hidden_dim
+        ),
+        decoder=decoder,
+        diffusion=StyleTransformer1d(
+            channels=mp.style_dim * 2,
+            context_embedding_features=cfg.plbert_params.hidden_size,
+            # single-speaker Transformer1d takes no reference-style features
+            # (models.py:648-651); multispeaker conditions on them
+            context_features=mp.style_dim * 2 if mp.multispeaker else 0,
+            num_layers=mp.diffusion.transformer.num_layers,
+            num_heads=mp.diffusion.transformer.num_heads,
+            head_features=mp.diffusion.transformer.head_features,
+            multiplier=mp.diffusion.transformer.multiplier,
+            embedding_max_length=cfg.plbert_params.max_position_embeddings,
+            style_cond=mp.multispeaker,
+        ),
+        args=mp,
+    )
+
+
+def init_params(models: Models, key: jax.Array, cfg: Config) -> Dict[str, Any]:
+    """Initialize every module's variables with tiny dummy shapes."""
+    mp = cfg.model_params
+    ks = jax.random.split(key, 8)
+    B, T_text, T_en = 1, 8, 16
+    T_mel = 2 * T_en
+    tokens = jnp.zeros((B, T_text), jnp.int32)
+    lengths = jnp.full((B,), T_text, jnp.int32)
+    mel = jnp.zeros((B, mp.n_mels, 32))
+    style = jnp.zeros((B, mp.style_dim))
+    asr = jnp.zeros((B, T_en, mp.hidden_dim))
+    f0 = jnp.zeros((B, T_mel))
+    texts_feat = jnp.zeros((B, T_text, mp.hidden_dim))
+    align = jnp.zeros((B, T_text, T_en))
+
+    params = {}
+    params["text_encoder"] = models.text_encoder.init(ks[0], tokens, lengths)
+    params["bert"] = models.bert.init(ks[1], tokens, jnp.ones_like(tokens))
+    params["bert_encoder"] = models.bert_encoder.init(
+        ks[2], jnp.zeros((B, T_text, cfg.plbert_params.hidden_size))
+    )
+    params["predictor"] = models.predictor.init(
+        ks[3], texts_feat, style, lengths, align,
+        method=ProsodyPredictor.init_all,
+    )
+    params["style_encoder"] = models.style_encoder.init(ks[4], mel)
+    params["predictor_encoder"] = models.predictor_encoder.init(ks[5], mel)
+    params["decoder"] = models.decoder.init(
+        {"params": ks[6], "noise": ks[6]}, asr, f0, jnp.zeros((B, T_mel)), style
+    )
+    params["diffusion"] = models.diffusion.init(
+        ks[7],
+        jnp.zeros((B, 1, mp.style_dim * 2)),
+        jnp.full((B,), -1.0),
+        jnp.zeros((B, T_text, cfg.plbert_params.hidden_size)),
+        features=jnp.zeros((B, mp.style_dim * 2)) if mp.multispeaker else None,
+    )
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

@@ -1,0 +1,209 @@
+"""EDM (Karras) diffusion: preconditioning, schedules, samplers, training loss.
+
+Reference semantics: Modules/diffusion/sampler.py —
+  KDiffusion (165-234): c_skip/c_out/c_in scale weights, c_noise=log(σ)/4,
+  LogNormal σ distribution, weighted MSE loss;
+  KarrasSchedule (319-337): eq. 5 of arXiv 2206.00364 with trailing 0;
+  ADPM2Sampler (481-519): 2-evaluation midpoint step + stochastic churn;
+  DiffusionSampler (550-586): schedule + sampler + optional clamp.
+
+TPU-first: the sampling loop is a lax.scan over static num_steps with both
+denoiser evaluations inside one traced body; σ values are traced scalars so
+one compiled program serves a fixed (num_steps, embedding_scale) pair.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def karras_schedule(
+    num_steps: int, sigma_min: float = 1e-4, sigma_max: float = 3.0, rho: float = 9.0
+) -> np.ndarray:
+    """σ_i for i<num_steps plus trailing 0 (sampler.py:319-337)."""
+    ramp = np.arange(num_steps, dtype=np.float64) / (num_steps - 1)
+    s = (
+        sigma_max ** (1.0 / rho)
+        + ramp * (sigma_min ** (1.0 / rho) - sigma_max ** (1.0 / rho))
+    ) ** rho
+    return np.concatenate([s, [0.0]]).astype(np.float32)
+
+
+def linear_schedule(num_steps: int) -> np.ndarray:
+    return np.linspace(1.0, 0.0, num_steps + 1)[:-1].astype(np.float32)
+
+
+def edm_scale_weights(sigmas: jnp.ndarray, sigma_data) -> Tuple[jnp.ndarray, ...]:
+    """c_skip, c_out, c_in, c_noise for σ (B,) (sampler.py:184-191)."""
+    c_noise = jnp.log(sigmas) * 0.25
+    s2 = sigmas[:, None, None] ** 2
+    d2 = sigma_data ** 2
+    c_skip = d2 / (s2 + d2)
+    c_out = sigmas[:, None, None] * sigma_data * jax.lax.rsqrt(d2 + s2)
+    c_in = jax.lax.rsqrt(s2 + d2)
+    return c_skip, c_out, c_in, c_noise
+
+
+def make_denoise_fn(net_apply: Callable, sigma_data) -> Callable:
+    """Wrap a raw denoiser net into the EDM-preconditioned denoise function
+    x̂0(x_noisy, σ) (sampler.py:193-208). net_apply(x, c_noise, **kw)."""
+
+    def denoise(x_noisy, sigmas, **kwargs):
+        c_skip, c_out, c_in, c_noise = edm_scale_weights(sigmas, sigma_data)
+        x_pred = net_apply(c_in * x_noisy, c_noise, **kwargs)
+        return c_skip * x_noisy + c_out * x_pred
+
+    return denoise
+
+
+def kdiffusion_loss(
+    net_apply: Callable,
+    x0: jnp.ndarray,
+    key: jax.Array,
+    sigma_data,
+    dist_mean: float = -3.0,
+    dist_std: float = 1.0,
+    **net_kwargs,
+) -> jnp.ndarray:
+    """EDM training loss (sampler.py:210-234): σ ~ LogNormal, weighted MSE."""
+    B = x0.shape[0]
+    k_sigma, k_noise = jax.random.split(key)
+    sigmas = jnp.exp(dist_mean + dist_std * jax.random.normal(k_sigma, (B,)))
+    noise = jax.random.normal(k_noise, x0.shape, dtype=x0.dtype)
+    x_noisy = x0 + sigmas[:, None, None] * noise
+    denoise = make_denoise_fn(net_apply, sigma_data)
+    x_denoised = denoise(x_noisy, sigmas, **net_kwargs)
+    losses = jnp.mean((x_denoised - x0) ** 2, axis=tuple(range(1, x0.ndim)))
+    weight = (sigmas ** 2 + sigma_data ** 2) * (sigmas * sigma_data) ** -2
+    return jnp.mean(losses * weight)
+
+
+def sample_adpm2(
+    denoise_fn: Callable,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    num_steps: int,
+    sigma_min: float = 1e-4,
+    sigma_max: float = 3.0,
+    rho_schedule: float = 9.0,
+    rho: float = 1.0,
+    clamp: bool = False,
+    **net_kwargs,
+) -> jnp.ndarray:
+    """ADPM2 ancestral sampling as a lax.scan (sampler.py:481-519).
+
+    denoise_fn(x, sigmas_batch, **net_kwargs) -> x̂0.
+    """
+    sigmas = jnp.asarray(karras_schedule(num_steps, sigma_min, sigma_max, rho_schedule))
+    x = sigmas[0] * noise
+    B = noise.shape[0]
+    keys = jax.random.split(key, num_steps - 1)
+
+    def body(x, inp):
+        sigma, sigma_next, k = inp
+        sig2 = sigma * sigma
+        sn2 = sigma_next * sigma_next
+        sigma_up = jnp.sqrt(jnp.maximum(sn2 * (sig2 - sn2) / sig2, 0.0))
+        sigma_down = jnp.sqrt(jnp.maximum(sn2 - sigma_up * sigma_up, 0.0))
+        sigma_mid = ((sigma ** (1.0 / rho) + sigma_down ** (1.0 / rho)) / 2.0) ** rho
+        sb = jnp.full((B,), sigma)
+        d = (x - denoise_fn(x, sb, **net_kwargs)) / sigma
+        x_mid = x + d * (sigma_mid - sigma)
+        mb = jnp.full((B,), sigma_mid)
+        d_mid = (x_mid - denoise_fn(x_mid, mb, **net_kwargs)) / sigma_mid
+        x = x + d_mid * (sigma_down - sigma)
+        x = x + jax.random.normal(k, x.shape, dtype=x.dtype) * sigma_up
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (sigmas[:-1], sigmas[1:], keys))
+    if clamp:
+        x = jnp.clip(x, -1.0, 1.0)
+    return x
+
+
+def sample_aeuler(
+    denoise_fn: Callable,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    num_steps: int,
+    sigma_min: float = 1e-4,
+    sigma_max: float = 3.0,
+    rho_schedule: float = 9.0,
+    clamp: bool = False,
+    **net_kwargs,
+) -> jnp.ndarray:
+    """Ancestral Euler sampler (sampler.py:451-478), single eval per step."""
+    sigmas = jnp.asarray(karras_schedule(num_steps, sigma_min, sigma_max, rho_schedule))
+    x = sigmas[0] * noise
+    B = noise.shape[0]
+    keys = jax.random.split(key, num_steps - 1)
+
+    def body(x, inp):
+        sigma, sigma_next, k = inp
+        sig2, sn2 = sigma * sigma, sigma_next * sigma_next
+        sigma_up = jnp.sqrt(jnp.maximum(sn2 * (sig2 - sn2) / sig2, 0.0))
+        sigma_down = jnp.sqrt(jnp.maximum(sn2 - sigma_up * sigma_up, 0.0))
+        d = (x - denoise_fn(x, jnp.full((B,), sigma), **net_kwargs)) / sigma
+        x = x + d * (sigma_down - sigma)
+        x = x + jax.random.normal(k, x.shape, dtype=x.dtype) * sigma_up
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (sigmas[:-1], sigmas[1:], keys))
+    if clamp:
+        x = jnp.clip(x, -1.0, 1.0)
+    return x
+
+
+def sample_karras(
+    denoise_fn: Callable,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    num_steps: int,
+    sigma_min: float = 1e-4,
+    sigma_max: float = 3.0,
+    rho_schedule: float = 9.0,
+    s_churn: float = 0.0,
+    s_noise: float = 1.0,
+    clamp: bool = False,
+    **net_kwargs,
+) -> jnp.ndarray:
+    """Karras algorithm-2 sampler with 2nd-order correction (sampler.py:394-448)."""
+    sigmas = jnp.asarray(karras_schedule(num_steps, sigma_min, sigma_max, rho_schedule))
+    gamma_val = min(s_churn / num_steps, math.sqrt(2.0) - 1.0)
+    x = sigmas[0] * noise
+    B = noise.shape[0]
+    keys = jax.random.split(key, num_steps - 1)
+
+    def body(x, inp):
+        sigma, sigma_next, k = inp
+        sigma_hat = sigma * (1.0 + gamma_val)
+        eps = s_noise * jax.random.normal(k, x.shape, dtype=x.dtype)
+        x_hat = x + jnp.sqrt(jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0)) * eps
+        d = (x_hat - denoise_fn(x_hat, jnp.full((B,), sigma_hat), **net_kwargs)) / sigma_hat
+        x_euler = x_hat + (sigma_next - sigma_hat) * d
+
+        def second_order(_):
+            d2 = (
+                x_euler - denoise_fn(x_euler, jnp.full((B,), sigma_next), **net_kwargs)
+            ) / jnp.where(sigma_next == 0.0, 1.0, sigma_next)
+            return x_hat + 0.5 * (sigma - sigma_hat) * (d + d2)
+
+        x = jax.lax.cond(sigma_next != 0.0, second_order, lambda _: x_euler, None)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (sigmas[:-1], sigmas[1:], keys))
+    if clamp:
+        x = jnp.clip(x, -1.0, 1.0)
+    return x
+
+
+SAMPLERS = {
+    "adpm2": sample_adpm2,
+    "aeuler": sample_aeuler,
+    "karras": sample_karras,
+}
