@@ -1,0 +1,284 @@
+"""End-to-end synthesis: the packaged equivalent of the reference notebooks.
+
+API parity (Demo/Inference_LJSpeech.ipynb cell 17, Inference_LibriTTS.ipynb
+cells 5/16/42/45): `Synthesizer.inference(text, ...)`, `compute_style(wave)`,
+`LFinference(...)` with style carry-over, `STinference(...)`; plus batched
+length-masked synthesis, which the reference does not offer.
+
+TPU-native structure: the pipeline is split into two jitted phases with
+static shape buckets —
+  phase A (text bucket): text encoder + PL-BERT + style diffusion (lax.scan
+    ADPM2) + duration prediction → integer durations;
+  phase B (text×frame bucket): searchsorted-style hard alignment expansion
+    (no python loop; utils.duration_to_alignment), F0/N prediction, decoder.
+The host only chooses the frame bucket from the duration sum between phases.
+Each (text_bucket, frame_bucket, diffusion_steps, embedding_scale) tuple
+compiles once and is cached.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styletts2_tpu.config import Config
+from styletts2_tpu.models.build import Models, build_models, init_params
+from styletts2_tpu.models.diffusion.sampler import make_denoise_fn, sample_adpm2
+from styletts2_tpu.ops.stft import preprocess_mel
+from styletts2_tpu.text import encode_text, pad_token_batch
+from styletts2_tpu.utils import duration_to_alignment
+
+
+def _bucket(n: int, step: int, minimum: int) -> int:
+    return max(minimum, ((n + step - 1) // step) * step)
+
+
+class Synthesizer:
+    """Holds model defs + params and exposes the reference inference API."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        params: Optional[Dict] = None,
+        seed: int = 0,
+        text_bucket: int = 64,
+        frame_bucket: int = 100,
+        sigma_data: float = 0.2,
+    ):
+        self.cfg = cfg
+        self.models = build_models(cfg)
+        self.multispeaker = cfg.model_params.multispeaker
+        self.hifigan = cfg.model_params.decoder.type == "hifigan"
+        self.style_dim = cfg.model_params.style_dim
+        self.sigma_data = sigma_data
+        self.text_bucket = text_bucket
+        self.frame_bucket = frame_bucket
+        if params is None:
+            params = init_params(self.models, jax.random.PRNGKey(seed), cfg)
+        self.params = params
+        self._phase_a = {}
+        self._phase_b = {}
+
+    # ------------------------------------------------------------------
+    # phase A: text -> (t_en, d, s, ref, pred_dur)
+    # ------------------------------------------------------------------
+
+    def _make_phase_a(self, diffusion_steps: int, embedding_scale: float):
+        models = self.models
+        multispeaker = self.multispeaker
+        sd = self.style_dim
+
+        def phase_a(params, tokens, lengths, noise, key, ref_s, alpha, beta, s_prev, s_prev_w):
+            B, T = tokens.shape
+            valid = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.int32)
+            t_en = models.text_encoder.apply(params["text_encoder"], tokens, lengths)
+            bert_dur = models.bert.apply(params["bert"], tokens, valid)
+            d_en = models.bert_encoder.apply(params["bert_encoder"], bert_dur)
+
+            def net_apply(x, c_noise, **kw):
+                return models.diffusion.apply(
+                    params["diffusion"], x, c_noise, bert_dur,
+                    features=ref_s if multispeaker else None,
+                    embedding_scale=embedding_scale,
+                )
+
+            denoise = make_denoise_fn(net_apply, self.sigma_data)
+            s_pred = sample_adpm2(
+                denoise, noise, key, num_steps=diffusion_steps,
+            )[:, 0, :]  # (B, 2*style)
+
+            # long-form style carry-over (LFinference)
+            s_pred = s_prev_w * s_prev + (1.0 - s_prev_w) * s_pred
+
+            s = s_pred[:, sd:]
+            ref = s_pred[:, :sd]
+            if multispeaker:
+                ref = alpha * ref + (1.0 - alpha) * ref_s[:, :sd]
+                s = beta * s + (1.0 - beta) * ref_s[:, sd:]
+            s_out = jnp.concatenate([ref, s], axis=-1)
+
+            d = models.predictor.apply(
+                params["predictor"], d_en, s, lengths, method="encode_texts"
+            )
+            dur_logits = models.predictor.apply(
+                params["predictor"], d, lengths, method="duration"
+            )
+            duration = jax.nn.sigmoid(dur_logits).sum(axis=-1)  # (B, T)
+            pred_dur = jnp.maximum(jnp.round(duration), 1.0)
+            pred_dur = jnp.where(
+                jnp.arange(T)[None, :] < lengths[:, None], pred_dur, 0.0
+            ).astype(jnp.int32)
+            return t_en, d, s, ref, s_out, pred_dur
+
+        return jax.jit(phase_a)
+
+    # ------------------------------------------------------------------
+    # phase B: (t_en, d, s, ref, pred_dur) -> wav
+    # ------------------------------------------------------------------
+
+    def _make_phase_b(self, n_frames: int):
+        models = self.models
+        hifigan = self.hifigan
+
+        def phase_b(params, t_en, d, s, ref, pred_dur, key):
+            aln = duration_to_alignment(pred_dur, n_frames)  # (B, T, F)
+            en = jnp.einsum("btc,btf->bfc", d, aln)
+            if hifigan:
+                en = jnp.concatenate([en[:, :1], en[:, :-1]], axis=1)
+            F0_pred, N_pred = models.predictor.apply(
+                params["predictor"], en, s, method="F0Ntrain"
+            )
+            asr = jnp.einsum("btc,btf->bfc", t_en, aln)
+            if hifigan:
+                asr = jnp.concatenate([asr[:, :1], asr[:, :-1]], axis=1)
+            wav = models.decoder.apply(
+                params["decoder"], asr, F0_pred, N_pred, ref, rngs={"noise": key}
+            )
+            return wav
+
+        return jax.jit(phase_b)
+
+    def _get_phase_a(self, steps, scale):
+        k = (steps, float(scale))
+        if k not in self._phase_a:
+            self._phase_a[k] = self._make_phase_a(steps, float(scale))
+        return self._phase_a[k]
+
+    def _get_phase_b(self, n_frames: int):
+        if n_frames not in self._phase_b:
+            self._phase_b[n_frames] = self._make_phase_b(n_frames)
+        return self._phase_b[n_frames]
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def compute_style(self, wave: np.ndarray) -> np.ndarray:
+        """24 kHz reference wave -> (1, 2*style_dim) [acoustic | prosodic]
+        (Inference_LibriTTS.ipynb cell 5)."""
+        mel = preprocess_mel(jnp.asarray(wave[None], jnp.float32))
+        ref_s = self.models.style_encoder.apply(self.params["style_encoder"], mel)
+        ref_p = self.models.predictor_encoder.apply(self.params["predictor_encoder"], mel)
+        return np.asarray(jnp.concatenate([ref_s, ref_p], axis=-1))
+
+    def inference(
+        self,
+        text: str,
+        ref_s: Optional[np.ndarray] = None,
+        noise: Optional[np.ndarray] = None,
+        alpha: float = 0.3,
+        beta: float = 0.7,
+        diffusion_steps: int = 5,
+        embedding_scale: float = 1.0,
+        seed: int = 0,
+        s_prev: Optional[np.ndarray] = None,
+        s_prev_weight: float = 0.0,
+        pad_last_token: bool = None,
+        trim_samples: int = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Synthesize one utterance from pre-phonemized IPA text.
+
+        Returns (wav float32 at 24 kHz, s_pred style for carry-over)."""
+        if pad_last_token is None:
+            pad_last_token = not self.multispeaker  # LJSpeech pred_dur[-1]+=5
+        if trim_samples is None:
+            trim_samples = 50 if self.multispeaker else 0
+
+        tokens_np = encode_text(text)
+        L = len(tokens_np)
+        T = _bucket(L, self.text_bucket, self.text_bucket)
+        tokens = np.zeros((1, T), np.int32)
+        tokens[0, :L] = tokens_np
+        lengths = np.asarray([L], np.int32)
+
+        key = jax.random.PRNGKey(seed)
+        k_samp, k_dec = jax.random.split(key)
+        if noise is None:
+            noise = jax.random.normal(jax.random.PRNGKey(seed + 1), (1, 1, 2 * self.style_dim))
+        else:
+            noise = jnp.asarray(noise).reshape(1, 1, -1)
+        if ref_s is None:
+            ref_s = jnp.zeros((1, 2 * self.style_dim), jnp.float32)
+        else:
+            ref_s = jnp.asarray(ref_s, jnp.float32)
+        if s_prev is None:
+            s_prev = jnp.zeros((1, 2 * self.style_dim), jnp.float32)
+            s_prev_weight = 0.0
+
+        pa = self._get_phase_a(diffusion_steps, embedding_scale)
+        t_en, d, s, ref, s_out, pred_dur = pa(
+            self.params, jnp.asarray(tokens), jnp.asarray(lengths), noise, k_samp,
+            ref_s, alpha, beta, jnp.asarray(s_prev), float(s_prev_weight),
+        )
+        pred_dur = np.array(pred_dur)  # writable host copy
+        if pad_last_token:
+            pred_dur[0, L - 1] += 5
+        total = int(pred_dur.sum())
+        F = _bucket(total, self.frame_bucket, self.frame_bucket)
+
+        pb = self._get_phase_b(F)
+        wav = pb(self.params, t_en, d, s, ref, jnp.asarray(pred_dur), k_dec)
+        wav = np.asarray(wav)[0, : total * 600]
+        if trim_samples:
+            wav = wav[:-trim_samples]
+        return wav, np.asarray(s_out)
+
+    def LFinference(
+        self,
+        text: str,
+        s_prev: Optional[np.ndarray],
+        ref_s: Optional[np.ndarray] = None,
+        alpha: float = 0.3,
+        beta: float = 0.7,
+        t: float = 0.7,
+        diffusion_steps: int = 5,
+        embedding_scale: float = 1.0,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Long-form segment synthesis with style carry-over
+        (LibriTTS cell 42 / LJSpeech cell 29)."""
+        wav, s_pred = self.inference(
+            text, ref_s=ref_s, alpha=alpha, beta=beta,
+            diffusion_steps=diffusion_steps, embedding_scale=embedding_scale,
+            seed=seed, s_prev=s_prev, s_prev_weight=t if s_prev is not None else 0.0,
+            trim_samples=100 if self.multispeaker else 0,
+        )
+        return wav, s_pred
+
+    def STinference(
+        self,
+        text: str,
+        ref_s: np.ndarray,
+        ref_text: str,
+        alpha: float = 0.3,
+        beta: float = 0.7,
+        diffusion_steps: int = 5,
+        embedding_scale: float = 1.0,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Style transfer variant (LibriTTS cell 45). Note: the reference
+        computes ref_text's BERT embedding but conditions the sampler on the
+        target text embedding; behavior replicated."""
+        wav, _ = self.inference(
+            text, ref_s=ref_s, alpha=alpha, beta=beta,
+            diffusion_steps=diffusion_steps, embedding_scale=embedding_scale,
+            seed=seed,
+        )
+        return wav
+
+    def long_form(self, text: str, ref_s=None, t: float = 0.7, **kw) -> np.ndarray:
+        """Paragraph synthesis: sentence split + LFinference stitching."""
+        import re
+
+        sentences = [s.strip() for s in re.split(r"(?<=[.!?…])\s+", text) if s.strip()]
+        s_prev, wavs = None, []
+        for i, sent in enumerate(sentences):
+            wav, s_prev = self.LFinference(
+                sent, s_prev, ref_s=ref_s, t=t, seed=kw.pop("seed", 0) + i, **kw
+            )
+            wavs.append(wav)
+        return np.concatenate(wavs) if wavs else np.zeros(0, np.float32)

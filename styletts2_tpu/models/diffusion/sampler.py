@@ -120,7 +120,10 @@ def sample_adpm2(
         x = x + jax.random.normal(k, x.shape, dtype=x.dtype) * sigma_up
         return x, None
 
-    x, _ = jax.lax.scan(body, x, (sigmas[:-1], sigmas[1:], keys))
+    # reference samplers iterate range(num_steps-1) over a schedule of
+    # num_steps+1 values, so the trailing 0 sigma is never stepped to
+    # (sampler.py:512-519)
+    x, _ = jax.lax.scan(body, x, (sigmas[:-2], sigmas[1:-1], keys))
     if clamp:
         x = jnp.clip(x, -1.0, 1.0)
     return x
@@ -153,7 +156,10 @@ def sample_aeuler(
         x = x + jax.random.normal(k, x.shape, dtype=x.dtype) * sigma_up
         return x, None
 
-    x, _ = jax.lax.scan(body, x, (sigmas[:-1], sigmas[1:], keys))
+    # reference samplers iterate range(num_steps-1) over a schedule of
+    # num_steps+1 values, so the trailing 0 sigma is never stepped to
+    # (sampler.py:512-519)
+    x, _ = jax.lax.scan(body, x, (sigmas[:-2], sigmas[1:-1], keys))
     if clamp:
         x = jnp.clip(x, -1.0, 1.0)
     return x
@@ -196,7 +202,10 @@ def sample_karras(
         x = jax.lax.cond(sigma_next != 0.0, second_order, lambda _: x_euler, None)
         return x, None
 
-    x, _ = jax.lax.scan(body, x, (sigmas[:-1], sigmas[1:], keys))
+    # reference samplers iterate range(num_steps-1) over a schedule of
+    # num_steps+1 values, so the trailing 0 sigma is never stepped to
+    # (sampler.py:512-519)
+    x, _ = jax.lax.scan(body, x, (sigmas[:-2], sigmas[1:-1], keys))
     if clamp:
         x = jnp.clip(x, -1.0, 1.0)
     return x

@@ -1,0 +1,68 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with DDP/DataParallel over NCCL (train_first.py:49-50,
+train_second.py:35-40 — the latter documented broken for DDP). Here
+parallelism is declarative: a ('data', 'model') Mesh; batches sharded over
+'data' (pure data parallelism riding ICI), and the wide transformer matmuls
+(PL-BERT FFN, denoiser mapping/FFN) sharded over 'model' (tensor
+parallelism), with XLA inserting the psum/all-gather collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devs)
+    mp = model_parallel if n % model_parallel == 0 else 1
+    arr = np.asarray(devs).reshape(n // mp, mp)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_pspec(path: str, x) -> P:
+    """Tensor-parallel layout rule for parameter arrays.
+
+    Wide 2D kernels are sharded over the 'model' axis: column-parallel when
+    the output dim is wide, row-parallel when the input dim is wide (the
+    Megatron pattern); everything else is replicated. XLA/GSPMD propagates
+    and inserts collectives.
+    """
+    if hasattr(x, "ndim") and x.ndim == 2:
+        rows, cols = x.shape
+        if cols >= 1024:
+            return P(None, "model")
+        if rows >= 1024:
+            return P("model", None)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param pytree on the mesh per param_pspec."""
+
+    def place(path, x):
+        spec = param_pspec(jax.tree_util.keystr(path), x)
+        # fall back to replication if the axis doesn't divide evenly
+        try:
+            if spec != P():
+                axis = 0 if spec[0] == "model" else 1
+                if x.shape[axis] % mesh.shape["model"] != 0:
+                    spec = P()
+        except Exception:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
