@@ -121,6 +121,65 @@ def build_models(cfg: Config) -> Models:
     )
 
 
+@dataclasses.dataclass
+class TrainingModels(Models):
+    """Models + the training-only modules: frozen utility nets and
+    discriminators (reference build_model keys, models.py:672-692)."""
+
+    text_aligner: Any = None
+    pitch_extractor: Any = None
+    mpd: Any = None
+    msd: Any = None
+    wd: Any = None
+    wavlm: Any = None  # frozen SLM feature extractor (losses.py:197)
+
+
+def build_training_models(cfg: Config) -> TrainingModels:
+    from styletts2_tpu.models.asr import ASRCNN
+    from styletts2_tpu.models.discriminators import (
+        MultiPeriodDiscriminator,
+        MultiResSpecDiscriminator,
+        WavLMDiscriminator,
+    )
+    from styletts2_tpu.models.jdc import JDCNet
+    from styletts2_tpu.models.wavlm import WavLM
+
+    base = build_models(cfg)
+    mp = cfg.model_params
+    return TrainingModels(
+        **{f.name: getattr(base, f.name) for f in dataclasses.fields(Models)},
+        text_aligner=ASRCNN(),
+        pitch_extractor=JDCNet(num_class=1),
+        mpd=MultiPeriodDiscriminator(),
+        msd=MultiResSpecDiscriminator(),
+        wd=WavLMDiscriminator(mp.slm.hidden, mp.slm.nlayers, mp.slm.initial_channel),
+        wavlm=WavLM(),
+    )
+
+
+def init_training_params(
+    models: TrainingModels, key: jax.Array, cfg: Config, with_wavlm: bool = True
+) -> Dict[str, Any]:
+    mp = cfg.model_params
+    params = init_params(models, key, cfg)
+    ks = jax.random.split(jax.random.fold_in(key, 1), 6)
+    B, T_mel = 1, 32
+    mel = jnp.zeros((B, mp.n_mels, T_mel))
+    texts = jnp.zeros((B, 8), jnp.int32)
+    valid_mem = jnp.ones((B, T_mel // 2))
+    wav = jnp.zeros((B, 4800))
+    params["text_aligner"] = models.text_aligner.init(ks[0], mel, valid_mem, texts)
+    params["pitch_extractor"] = models.pitch_extractor.init(ks[1], mel)
+    params["mpd"] = models.mpd.init(ks[2], wav, wav)
+    params["msd"] = models.msd.init(ks[3], wav, wav)
+    params["wd"] = models.wd.init(
+        ks[4], jnp.zeros((B, 9, mp.slm.hidden * mp.slm.nlayers))
+    )
+    if with_wavlm:
+        params["wavlm"] = models.wavlm.init(ks[5], jnp.zeros((B, 3200)))
+    return params
+
+
 def init_params(models: Models, key: jax.Array, cfg: Config) -> Dict[str, Any]:
     """Initialize every module's variables with tiny dummy shapes."""
     mp = cfg.model_params
@@ -129,7 +188,7 @@ def init_params(models: Models, key: jax.Array, cfg: Config) -> Dict[str, Any]:
     T_mel = 2 * T_en
     tokens = jnp.zeros((B, T_text), jnp.int32)
     lengths = jnp.full((B,), T_text, jnp.int32)
-    mel = jnp.zeros((B, mp.n_mels, 32))
+    mel = jnp.zeros((B, mp.n_mels, 96))
     style = jnp.zeros((B, mp.style_dim))
     asr = jnp.zeros((B, T_en, mp.hidden_dim))
     f0 = jnp.zeros((B, T_mel))

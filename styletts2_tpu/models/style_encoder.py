@@ -55,7 +55,23 @@ class StyleEncoder(nn.Module):
     repeat_num: int = 4
 
     @nn.compact
-    def __call__(self, mel, update_stats: bool = False):
+    def __call__(self, mel, lengths=None, update_stats: bool = False):
+        """mel: (B, n_mels, T); optional lengths (B,) of valid frames.
+
+        With lengths, the global average pool is masked to the valid region —
+        the batched TPU replacement of the reference's per-item
+        full-utterance style loop (train_second.py:295-307, which runs the
+        encoder once per sample because of AdaptiveAvgPool2d)."""
+        if mel.shape[-1] < 80:
+            # 4 stride-2 stages + the 5-wide valid conv need ≥80 frames; the
+            # reference enforces this by skipping short clips
+            # (train_first.py:246-247)
+            raise ValueError(
+                f"StyleEncoder needs >=80 mel frames, got {mel.shape[-1]}"
+            )
+        if lengths is not None:
+            T = mel.shape[-1]
+            mel = jnp.where(jnp.arange(T)[None, None, :] < lengths[:, None, None], mel, 0.0)
         x = mel[..., None]  # (B, n_mels, T, 1) as NHWC image
         x = SNConv2d(self.dim_in, (3, 3), padding=(1, 1), name="stem")(x, update_stats)
         d = self.dim_in
@@ -65,6 +81,18 @@ class StyleEncoder(nn.Module):
             d = d_out
         x = leaky_relu(x)
         x = SNConv2d(d, (5, 5), padding=(0, 0), name="conv5x5")(x, update_stats)
-        x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
+        if lengths is None:
+            x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
+        else:
+            # valid width after 4 stride-2 stages and the 5-wide valid conv
+            lv = lengths
+            for _ in range(self.repeat_num):
+                lv = (lv + 1) // 2
+            lv = jnp.maximum(lv - 4, 1)
+            W = x.shape[2]
+            wmask = (jnp.arange(W)[None, :] < lv[:, None]).astype(x.dtype)
+            x = jnp.sum(x * wmask[:, None, :, None], axis=(1, 2)) / (
+                x.shape[1] * lv[:, None]
+            )
         x = leaky_relu(x)
         return nn.Dense(self.style_dim, name="unshared")(x)

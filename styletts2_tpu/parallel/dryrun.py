@@ -16,7 +16,7 @@ import os
 # time-sharing; raise the timeouts before the backend initializes.
 _flags = os.environ.get("XLA_FLAGS", "")
 for _f in (
-    "--xla_cpu_collective_call_warn_stuck_seconds=600",
+    "--xla_cpu_collective_call_warn_stuck_timeout_seconds=600",
     "--xla_cpu_collective_call_terminate_timeout_seconds=1200",
 ):
     if _f.split("=")[0] not in _flags:
@@ -67,7 +67,7 @@ def run_dryrun(n_devices: int) -> None:
         "tokens": rng.integers(1, 178, (B, T_text)).astype(np.int32),
         "lengths": np.full((B,), T_text, np.int32),
         "durations": rng.integers(1, 3, (B, T_text)).astype(np.int32),
-        "mel": rng.standard_normal((B, 80, T_mel)).astype(np.float32),
+        "mel": rng.standard_normal((B, 80, 96)).astype(np.float32),
         "wav": rng.standard_normal((B, T_en * 600)).astype(np.float32) * 0.01,
         "style_target": rng.standard_normal((B, 256)).astype(np.float32) * 0.1,
     }
