@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from styletts2_tpu.models.layers import uniform_centered
+
 
 def dct_matrix(n_mfcc: int = 40, n_mels: int = 80) -> np.ndarray:
     """Ortho-normalized DCT-II basis (torchaudio create_dct parity):
@@ -105,9 +107,9 @@ class ASRS2S(nn.Module):
         # LSTMCell params (torch gate order i,f,g,o)
         cell_in = self.embedding_dim + A
         bound = 1.0 / math.sqrt(A)
-        W_ih = self.param("W_ih", nn.initializers.uniform(scale=2 * bound), (cell_in, 4 * A)) - bound
-        W_hh = self.param("W_hh", nn.initializers.uniform(scale=2 * bound), (A, 4 * A)) - bound
-        b_cell = self.param("b_cell", nn.initializers.uniform(scale=2 * bound), (4 * A,)) - bound
+        W_ih = self.param("W_ih", uniform_centered(bound), (cell_in, 4 * A))
+        W_hh = self.param("W_hh", uniform_centered(bound), (A, 4 * A))
+        b_cell = self.param("b_cell", uniform_centered(bound), (4 * A,))
         W_ph = self.param("project_to_hidden_w", xavier, (2 * A, A))
         b_ph = self.param("project_to_hidden_b", nn.initializers.zeros, (A,))
         W_pl = self.param("project_to_n_symbols_w", xavier, (A, self.n_token))

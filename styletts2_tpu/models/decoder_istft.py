@@ -240,6 +240,7 @@ class Decoder(nn.Module):
     upsample_kernel_sizes: Sequence[int] = (20, 12)
     gen_istft_n_fft: int = 20
     gen_istft_hop_size: int = 5
+    bottleneck: int = 1024  # reference hardcodes 1024 (istftnet.py:479-484)
 
     @nn.compact
     def __call__(self, asr, f0_curve, n_curve, s, train: bool = False):
@@ -269,10 +270,11 @@ class Decoder(nn.Module):
         N = WNConv1d(1, 3, stride=2, padding=1, name="N_conv")(n_curve[..., None])
 
         x = jnp.concatenate([asr, F0, N], axis=-1)
-        x = AdainResBlk1d(1024, name="encode")(x, s, train=train)
+        bn = self.bottleneck
+        x = AdainResBlk1d(bn, name="encode")(x, s, train=train)
         asr_res = WNConv1d(64, 1, name="asr_res")(asr)
 
-        specs = [(1024, False), (1024, False), (1024, False), (512, True)]
+        specs = [(bn, False), (bn, False), (bn, False), (self.upsample_initial_channel, True)]
         for bi, (dim_out, up) in enumerate(specs):
             x = jnp.concatenate([x, asr_res, F0, N], axis=-1)
             x = AdainResBlk1d(dim_out, upsample=up, name=f"decode_{bi}")(x, s, train=train)

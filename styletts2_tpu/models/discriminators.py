@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from styletts2_tpu.models.layers import WNConv1d, leaky_relu
+from styletts2_tpu.models.layers import uniform_centered, WNConv1d, leaky_relu
 from styletts2_tpu.ops.stft import stft
 
 
@@ -38,11 +38,11 @@ class WNConv2d(nn.Module):
         kh, kw = self.kernel_size
         fan_in = kh * kw * in_ch
         bound = 1.0 / math.sqrt(fan_in)
-        v = self.param("v", nn.initializers.uniform(scale=2 * bound), (kh, kw, in_ch, self.features)) - bound
+        v = self.param("v", uniform_centered(bound), (kh, kw, in_ch, self.features))
         g = self.param("g", nn.initializers.constant(bound * math.sqrt(fan_in)), (self.features,))
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
         w = v / norm * g[None, None, None, :]
-        b = self.param("bias", nn.initializers.uniform(scale=2 * bound), (self.features,)) - bound
+        b = self.param("bias", uniform_centered(bound), (self.features,))
         y = jax.lax.conv_general_dilated(
             x, w, self.stride,
             [(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],

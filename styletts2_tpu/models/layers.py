@@ -30,6 +30,15 @@ LRELU_SLOPE_02 = 0.2
 LRELU_SLOPE_01 = 0.1
 
 
+def uniform_centered(bound):
+    """U(-bound, bound) initializer (torch default conv/linear init)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def leaky_relu(x, slope=LRELU_SLOPE_02):
     return jnp.where(x >= 0, x, slope * x)
 
@@ -98,16 +107,15 @@ class WNConv1d(nn.Module):
         fan_in = self.kernel_size * in_ch // self.groups
         bound = 1.0 / math.sqrt(fan_in)
         v = self.param(
-            "v", nn.initializers.uniform(scale=2 * bound), k_shape
-        )  # offset below to center at 0
-        v = v - bound
+            "v", uniform_centered(bound), k_shape
+        )
         g = self.param("g", nn.initializers.constant(bound * math.sqrt(fan_in)), (self.features,))
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
         w = v / norm * g[None, None, :]
         y = _conv1d(x, w, self.stride, self.padding, self.dilation, self.groups)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.uniform(scale=2 * bound), (self.features,))
-            y = y + (b - bound)
+            b = self.param("bias", uniform_centered(bound), (self.features,))
+            y = y + b
         return y
 
 
@@ -128,10 +136,10 @@ class Conv1d(nn.Module):
         k_shape = (self.kernel_size, in_ch // self.groups, self.features)
         fan_in = self.kernel_size * in_ch // self.groups
         bound = 1.0 / math.sqrt(fan_in)
-        w = self.param("kernel", nn.initializers.uniform(scale=2 * bound), k_shape) - bound
+        w = self.param("kernel", uniform_centered(bound), k_shape)
         y = _conv1d(x, w, self.stride, self.padding, self.dilation, self.groups)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.uniform(scale=2 * bound), (self.features,)) - bound
+            b = self.param("bias", uniform_centered(bound), (self.features,))
             y = y + b
         return y
 
@@ -150,18 +158,27 @@ class WNConvTranspose1d(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        k_shape = (self.kernel_size, in_ch // self.groups, self.features)
+        # v kept in the torch ConvTranspose1d layout (in, out/groups, K) so
+        # weight_norm normalizes per *input* channel (torch dim=0 semantics)
+        # and checkpoints convert 1:1.
+        k_shape = (in_ch, self.features // self.groups, self.kernel_size)
         fan_in = self.kernel_size * in_ch // self.groups
         bound = 1.0 / math.sqrt(fan_in)
-        v = self.param("v", nn.initializers.uniform(scale=2 * bound), k_shape) - bound
-        g = self.param("g", nn.initializers.constant(bound * math.sqrt(fan_in)), (self.features,))
-        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
-        w = v / norm * g[None, None, :]
+        v = self.param("v", uniform_centered(bound), k_shape)
+        g = self.param("g", nn.initializers.constant(bound * math.sqrt(fan_in)), (in_ch,))
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True) + 1e-12)
+        w_t = v / norm * g[:, None, None]  # (in, out/g, K)
+        if self.groups == 1:
+            w = jnp.transpose(w_t, (2, 0, 1))  # (K, in, out)
+        elif self.groups == in_ch and self.features == in_ch:
+            w = jnp.transpose(w_t, (2, 1, 0))  # depthwise: (K, 1, C)
+        else:
+            raise NotImplementedError("grouped transpose only depthwise or g=1")
         y = _conv1d_transpose(
             x, w, self.stride, self.padding, self.output_padding, self.groups
         )
         if self.use_bias:
-            b = self.param("bias", nn.initializers.uniform(scale=2 * bound), (self.features,)) - bound
+            b = self.param("bias", uniform_centered(bound), (self.features,))
             y = y + b
         return y
 
@@ -184,26 +201,32 @@ class SNConv2d(nn.Module):
         k_shape = (kh, kw, in_ch // self.groups, self.features)
         fan_in = kh * kw * in_ch // self.groups
         bound = 1.0 / math.sqrt(fan_in)
-        w = self.param("kernel", nn.initializers.uniform(scale=2 * bound), k_shape) - bound
-        # power-iteration state: torch reshapes w to (out, -1); u in R^out
+        w = self.param("kernel", uniform_centered(bound), k_shape)
+        # power-iteration state: torch reshapes w to (out, -1) and persists
+        # BOTH u and v; at eval it reuses them without iterating. The flat
+        # 'rest' ordering here is (kh, kw, in) — converters permute torch's
+        # (in, kh, kw)-ordered weight_v accordingly.
         w_mat = w.reshape(-1, self.features).T  # (out, rest)
-        u_var = self.variable(
-            "spectral",
-            "u",
-            lambda: jax.random.normal(self.make_rng("params") if self.has_rng("params") else jax.random.PRNGKey(0), (self.features,)),
+        rest = w_mat.shape[1]
+        rng0 = (
+            self.make_rng("params") if self.has_rng("params") else jax.random.PRNGKey(0)
         )
-        u = u_var.value
+        u_var = self.variable(
+            "spectral", "u", lambda: jax.random.normal(rng0, (self.features,))
+        )
+        v_var = self.variable(
+            "spectral", "v", lambda: jax.random.normal(jax.random.fold_in(rng0, 1), (rest,))
+        )
+        u, v = u_var.value, v_var.value
         if update_stats:
             v = w_mat.T @ u
             v = v / (jnp.linalg.norm(v) + 1e-12)
-            u_new = w_mat @ v
-            u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-            u_var.value = jax.lax.stop_gradient(u_new)
-            u = jax.lax.stop_gradient(u_new)
+            u = w_mat @ v
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+            u = jax.lax.stop_gradient(u)
             v = jax.lax.stop_gradient(v)
-        else:
-            v = w_mat.T @ u
-            v = v / (jnp.linalg.norm(v) + 1e-12)
+            u_var.value = u
+            v_var.value = v
         sigma = u @ (w_mat @ v)
         w_sn = w / sigma
         y = jax.lax.conv_general_dilated(
@@ -215,7 +238,7 @@ class SNConv2d(nn.Module):
             feature_group_count=self.groups,
         )
         if self.use_bias:
-            b = self.param("bias", nn.initializers.uniform(scale=2 * bound), (self.features,)) - bound
+            b = self.param("bias", uniform_centered(bound), (self.features,))
             y = y + b
         return y
 
@@ -332,9 +355,9 @@ class _LSTMDirection(nn.Module):
         B, T, C = x.shape
         H = self.hidden
         bound = 1.0 / math.sqrt(H)
-        W_ih = self.param("W_ih", nn.initializers.uniform(scale=2 * bound), (C, 4 * H)) - bound
-        W_hh = self.param("W_hh", nn.initializers.uniform(scale=2 * bound), (H, 4 * H)) - bound
-        b = self.param("b", nn.initializers.uniform(scale=2 * bound), (4 * H,)) - bound
+        W_ih = self.param("W_ih", uniform_centered(bound), (C, 4 * H))
+        W_hh = self.param("W_hh", uniform_centered(bound), (H, 4 * H))
+        b = self.param("b", uniform_centered(bound), (4 * H,))
 
         x_proj = x @ W_ih + b  # one big MXU matmul over (B*T, C)
         ts = jnp.arange(T)

@@ -38,9 +38,27 @@ from styletts2_tpu.utils import duration_to_alignment
 
 
 def run_dryrun(n_devices: int) -> None:
+    # persistent compile cache inside the repo: repeated driver invocations
+    # (and CI) skip the expensive XLA compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     cfg = Config()
+    # full training-step STRUCTURE at tiny widths (shapes only; every module
+    # and sharding of the real step is exercised)
     cfg.plbert_params.num_hidden_layers = 2
+    cfg.plbert_params.hidden_size = 128
+    cfg.plbert_params.intermediate_size = 1536
+    cfg.plbert_params.num_attention_heads = 4
+    cfg.plbert_params.embedding_size = 64
+    cfg.model_params.hidden_dim = 128
+    cfg.model_params.max_conv_dim = 128
+    cfg.model_params.style_dim = 64
+    cfg.model_params.dim_in = 32
     cfg.model_params.diffusion.transformer.num_layers = 1
+    cfg.model_params.decoder.upsample_initial_channel = 128
     models = build_models(cfg)
     variables = init_params(models, jax.random.PRNGKey(0), cfg)
     # trainable 'params' collections vs auxiliary state (spectral-norm u, ...)
@@ -69,7 +87,7 @@ def run_dryrun(n_devices: int) -> None:
         "durations": rng.integers(1, 3, (B, T_text)).astype(np.int32),
         "mel": rng.standard_normal((B, 80, 96)).astype(np.float32),
         "wav": rng.standard_normal((B, T_en * 600)).astype(np.float32) * 0.01,
-        "style_target": rng.standard_normal((B, 256)).astype(np.float32) * 0.1,
+        "style_target": rng.standard_normal((B, cfg.model_params.style_dim * 2)).astype(np.float32) * 0.1,
     }
     bsh = NamedSharding(mesh, P("data"))
     batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}

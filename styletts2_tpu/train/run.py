@@ -1,0 +1,213 @@
+"""Training drivers: the CLI entry points mirroring the reference scripts.
+
+  python -m styletts2_tpu.train.run first    --config_path configs/config.yml
+  python -m styletts2_tpu.train.run second   --config_path configs/config.yml
+  python -m styletts2_tpu.train.run finetune --config_path configs/config_ft.yml
+
+Reference parity: train_first.py / train_second.py / train_finetune.py CLI
+(`--config_path` only, train_first.py:41-43), config copied into log_dir,
+epoch loop with validation + checkpoint saves every save_freq epochs, stage
+handoff (stage 2 loads first_stage.pth ignoring predictor/bert/diffusion/
+discriminators and seeds predictor_encoder from style_encoder,
+train_second.py:146-157), estimated sigma_data written back into the config
+copy (train_second.py:784-789).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+import shutil
+import sys
+import time
+
+import jax
+import numpy as np
+import yaml
+
+from styletts2_tpu.config import Config, load_config
+from styletts2_tpu.data.meldataset import build_dataloader
+from styletts2_tpu.models.build import build_training_models, init_training_params
+from styletts2_tpu.observability import MetricsWriter, StepTimer, get_logger
+from styletts2_tpu.train.state import (
+    TrainState,
+    build_module_optimizers,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+MODULE_KEYS = [
+    "bert", "bert_encoder", "predictor", "decoder", "text_encoder",
+    "predictor_encoder", "style_encoder", "diffusion", "text_aligner",
+    "pitch_extractor", "mpd", "msd", "wd",
+]
+
+
+def setup(config_path: str, stage: str):
+    cfg = load_config(config_path)
+    log_dir = cfg.log_dir
+    os.makedirs(log_dir, exist_ok=True)
+    shutil.copy(config_path, os.path.join(log_dir, os.path.basename(config_path)))
+    logger = get_logger(log_dir)
+    writer = MetricsWriter(log_dir)
+
+    train_loader = build_dataloader(
+        cfg.data_params.train_data, cfg.data_params.root_path,
+        ood_path=cfg.data_params.OOD_data, min_length=cfg.data_params.min_length,
+        batch_size=cfg.batch_size, validation=False,
+    )
+    val_loader = build_dataloader(
+        cfg.data_params.val_data, cfg.data_params.root_path,
+        ood_path=cfg.data_params.OOD_data, min_length=cfg.data_params.min_length,
+        batch_size=cfg.batch_size, validation=True,
+    )
+
+    models = build_training_models(cfg)
+    variables = init_training_params(models, jax.random.PRNGKey(0), cfg)
+    # pretrained utility models (ASR aligner / JDC / PL-BERT), converted from
+    # the reference torch checkpoints when present (models.py:584-612)
+    from styletts2_tpu import convert
+
+    for path, fn, key in (
+        (cfg.ASR_path, getattr(convert, "convert_asr", None), "text_aligner"),
+        (cfg.F0_path, getattr(convert, "convert_jdc", None), "pitch_extractor"),
+    ):
+        if fn is not None and path and os.path.exists(path):
+            try:
+                import torch
+
+                sd = torch.load(path, map_location="cpu")
+                sd = sd.get("model", sd.get("net", sd))
+                variables[key] = fn({k: v.numpy() for k, v in sd.items()})
+                logger.info(f"loaded pretrained {key} from {path}")
+            except Exception as e:  # pragma: no cover
+                logger.warning(f"could not load {key} from {path}: {e}")
+
+    txs = build_module_optimizers(cfg, MODULE_KEYS, stage2=(stage != "first"))
+    state = TrainState.create(variables, txs)
+    state.sigma_data = cfg.model_params.diffusion.dist.sigma_data
+    return cfg, models, state, train_loader, val_loader, logger, writer
+
+
+def run_stage(stage: str, config_path: str, max_steps: int | None = None):
+    cfg, models, state, train_loader, val_loader, logger, writer = setup(
+        config_path, stage
+    )
+    log_dir = cfg.log_dir
+
+    if stage == "first":
+        from styletts2_tpu.train.stage1 import Stage1Trainer
+
+        trainer = Stage1Trainer(cfg, models, state)
+        epochs = cfg.epochs_1st
+        ckpt_fmt = "epoch_1st_{:05d}.ckpt"
+    elif stage == "second":
+        from styletts2_tpu.train.stage2 import Stage2Trainer
+
+        first_path = os.path.join(log_dir, cfg.first_stage_path)
+        if os.path.exists(first_path):
+            state = _load_first_stage(state, first_path, logger)
+        trainer = Stage2Trainer(cfg, models, state)
+        epochs = cfg.epochs_2nd
+        ckpt_fmt = "epoch_2nd_{:05d}.ckpt"
+    else:
+        from styletts2_tpu.train.finetune import FinetuneTrainer
+
+        if cfg.pretrained_model and os.path.exists(cfg.pretrained_model):
+            state = load_checkpoint(
+                cfg.pretrained_model, state, load_only_params=cfg.load_only_params
+            )
+        trainer = FinetuneTrainer(cfg, models, state)
+        epochs = cfg.epochs_2nd
+        ckpt_fmt = "epoch_ft_{:05d}.ckpt"
+
+    rng = np.random.default_rng(1)
+    timer = StepTimer()
+    iters = 0
+    for epoch in range(state.epoch, epochs):
+        for i, batch in enumerate(train_loader):
+            timer.start()
+            if stage == "first":
+                m = trainer.train_step(batch, epoch, rng)
+            else:
+                m = trainer.train_step(batch, epoch, iters, rng)
+            dt = timer.stop()
+            if m is None:
+                continue
+            iters += 1
+            if iters % cfg.log_interval == 0:
+                m["step_sec"] = dt
+                writer.scalars({f"train/{k}": v for k, v in m.items()}, iters)
+                logger.info(
+                    f"epoch {epoch} it {iters}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in m.items())
+                )
+            if max_steps and iters >= max_steps:
+                break
+
+        # validation
+        if stage == "first":
+            vals = [trainer.validate(b, rng) for b in val_loader]
+            vals = [v for v in vals if v is not None]
+            if vals:
+                writer.scalars({"eval/mel": float(np.mean(vals))}, iters)
+
+        trainer.state.epoch = epoch + 1
+        if (epoch + 1) % cfg.save_freq == 0:
+            save_checkpoint(
+                os.path.join(log_dir, ckpt_fmt.format(epoch + 1)), trainer.state
+            )
+        if max_steps and iters >= max_steps:
+            break
+
+    if stage == "first":
+        save_checkpoint(os.path.join(log_dir, cfg.first_stage_path), trainer.state)
+    else:
+        # write estimated sigma_data back into the config copy
+        # (train_second.py:784-789)
+        cpath = os.path.join(log_dir, os.path.basename(config_path))
+        with open(cpath) as f:
+            raw = yaml.safe_load(f)
+        raw.setdefault("model_params", {}).setdefault("diffusion", {}).setdefault(
+            "dist", {}
+        )["sigma_data"] = float(trainer.state.sigma_data)
+        with open(cpath, "w") as f:
+            yaml.safe_dump(raw, f)
+        save_checkpoint(os.path.join(log_dir, f"{stage}_final.ckpt"), trainer.state)
+    writer.close()
+    return trainer.state
+
+
+def _load_first_stage(state, path, logger):
+    """Stage handoff: load first_stage, ignore 2nd-stage modules, seed
+    predictor_encoder from style_encoder (train_second.py:146-157)."""
+    from styletts2_tpu.train.state import load_checkpoint as _lc
+
+    state = _lc(
+        path, state, load_only_params=True,
+        ignore_modules=(
+            "bert", "bert_encoder", "predictor", "predictor_encoder",
+            "msd", "mpd", "wd", "diffusion",
+        ),
+    )
+    state.params["predictor_encoder"] = copy.deepcopy(state.params["style_encoder"])
+    if "style_encoder" in state.extras:
+        state.extras["predictor_encoder"] = copy.deepcopy(
+            state.extras["style_encoder"]
+        )
+    logger.info(f"loaded first stage from {path}")
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser(description="styletts2_tpu training driver")
+    ap.add_argument("stage", choices=["first", "second", "finetune"])
+    ap.add_argument("--config_path", required=True)
+    ap.add_argument("--max_steps", type=int, default=None)
+    args = ap.parse_args()
+    run_stage(args.stage, args.config_path, args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,660 @@
+"""Stage-2 training: style diffusion + prosody prediction + SLM-adversarial.
+
+Reference semantics (train_second.py:244-560):
+  no-grad aligner → hard mono path → asr features and d_gt durations;
+  full-utterance prosodic/acoustic styles (batched masked pooling here vs the
+  reference's per-item loop, train_second.py:295-307); σ_data estimated from
+  the batch (316-318); EDM diffusion loss + sampled-style L1 (320-336);
+  duration CE/L1, F0/energy smooth-L1 (404-405, 426-441); D-then-G updates
+  with per-phase module gating (459-469); from joint_epoch the
+  SLM-adversarial pass (Modules/slmadv.py) with differentiable duration:
+  sigmoid duration logits → Gaussian kernels at cumsum centers (sig 1.5) →
+  soft alignment → full synthesis → WavLM discriminator, with the reference's
+  gradient-norm rescale (÷‖g_predictor‖ above thresh) and ×0.01 scaling of
+  duration_proj/lstm/diffusion grads (train_second.py:495-530).
+
+TPU-native notes: the per-item duration→alignment conv becomes a batched
+closed form soft_alignment() (50 accumulated Gaussian terms, no python-side
+loops); variable SLM batch composition becomes a fixed slice + validity
+weights; all randomness is explicit (host coins for phase choices, jax PRNG
+in-graph).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import optax
+import jax.numpy as jnp
+import numpy as np
+
+from styletts2_tpu import losses as L
+from styletts2_tpu.config import Config
+from styletts2_tpu.data.meldataset import Batch
+from styletts2_tpu.models.build import TrainingModels
+from styletts2_tpu.models.diffusion.sampler import (
+    kdiffusion_loss,
+    make_denoise_fn,
+    sample_adpm2,
+)
+from styletts2_tpu.models.wavlm import resample_24k_to_16k
+from styletts2_tpu.ops.stft import log_norm, preprocess_mel
+from styletts2_tpu.train.stage1 import aligner_pass, clip_slice
+from styletts2_tpu.train.state import TrainState, apply_module_updates
+
+
+def soft_alignment(dur_logits, lengths, n_frames, sig=1.5):
+    """Differentiable duration → soft alignment (slmadv.py:57-75).
+
+    out[b,i,j] = Σ_n sigmoid(dur_logits)[b,i,n] · exp(-(loc_i + n - 1 - j)²/2σ²)
+    then softmax over tokens i, masked to valid tokens and j < round(Σ dur).
+    Returns (attn (B, T, F), out_frames (B,) int)."""
+    B, T, D = dur_logits.shape
+    sg = jax.nn.sigmoid(dur_logits)
+    valid_tok = (jnp.arange(T)[None, :] < lengths[:, None]).astype(sg.dtype)
+    sg = sg * valid_tok[..., None]
+    dur = sg.sum(-1)  # (B, T)
+    loc = jnp.cumsum(dur, axis=1) - dur / 2.0  # (B, T)
+    total = jnp.round(jnp.sum(dur, axis=1)).astype(jnp.int32)  # (B,)
+    j = jnp.arange(n_frames)[None, None, :]
+    out = jnp.zeros((B, T, n_frames), sg.dtype)
+    for n in range(D):
+        w = jnp.exp(-0.5 * jnp.square(loc[..., None] + n - 1 - j) / (sig ** 2))
+        out = out + sg[:, :, n : n + 1] * w
+    # softmax over tokens, invalid tokens excluded
+    out = jnp.where(valid_tok[..., None] > 0, out, -jnp.inf)
+    attn = jax.nn.softmax(out, axis=1)
+    frame_valid = (jnp.arange(n_frames)[None, :] < total[:, None]).astype(sg.dtype)
+    attn = attn * frame_valid[:, None, :]
+    return attn, total
+
+
+class Stage2Trainer:
+    """Stage-2 driver; with finetune=True becomes the train_finetune variant
+    (SURVEY.md §3.4): discriminators + TMA losses active from epoch 0,
+    text_encoder/text_aligner/style_encoder/decoder trained throughout."""
+
+    def __init__(self, cfg: Config, models: TrainingModels, state: TrainState,
+                 finetune: bool = False):
+        self.cfg = cfg
+        self.models = models
+        self.state = state
+        self.multispeaker = cfg.model_params.multispeaker
+        self.finetune = finetune
+        self._steps = {}
+        self.running_std = []
+
+    # ------------------------------------------------------------------
+    def _make_step(self, clip_len, diff_on, joint_on, slm_frames, slm_clip, slm_bs):
+        cfg = self.cfg
+        models = self.models
+        lp = cfg.loss_params
+        sa = cfg.slmadv_params
+        txs = self.state.txs
+        ms = self.multispeaker
+
+        ft = self.finetune
+        g_keys = ("bert_encoder", "bert", "predictor", "predictor_encoder")
+        if diff_on:
+            g_keys = g_keys + ("diffusion",)
+        if joint_on or ft:
+            g_keys = g_keys + ("style_encoder", "decoder")
+        if ft:
+            g_keys = g_keys + ("text_encoder", "text_aligner")
+        d_keys = ("msd", "mpd")
+        slm_keys = ("bert_encoder", "bert", "predictor", "diffusion")
+
+        def mv(p, extras, k):
+            return {"params": p[k], **extras.get(k, {})}
+
+        def shared_forward(p, extras, batch, key, train=True):
+            """Aligner + styles + bert (train_second.py:265-310). In finetune
+            mode the aligner/text-encoder run WITH gradients and their TMA
+            losses re-enter g_loss (train_finetune.py vs train_second diff)."""
+            mels = preprocess_mel(batch["waves"])
+            mels = mels[:, :, : (mels.shape[-1] // 2) * 2]
+            sg = jax.lax.stop_gradient
+            if ft:
+                al_params = {"text_aligner": {"params": p["text_aligner"]}}
+            else:
+                al_params = {"text_aligner": {"params": sg(p["text_aligner"])}}
+            _, s2s_pred, s2s_attn, mono = aligner_pass(
+                models, al_params,
+                mels, batch["mel_lengths"], batch["tokens"],
+                batch["input_lengths"], key, train=(train and ft),
+            )
+            t_en = models.text_encoder.apply(
+                {"params": p["text_encoder"] if ft else sg(p["text_encoder"])},
+                batch["tokens"], batch["input_lengths"],
+            )
+            if not ft:
+                t_en = sg(t_en)
+                s2s_attn = sg(s2s_attn)
+            asr = jnp.einsum("btc,btl->blc", t_en, mono)
+            d_gt = mono.sum(axis=-1)  # (B, T_text)
+
+            # full-utterance styles, batched masked pooling
+            s_dur_full = models.predictor_encoder.apply(
+                mv(p, extras, "predictor_encoder"), mels,
+                lengths=batch["mel_lengths"], update_stats=False,
+            )
+            gs_full = models.style_encoder.apply(
+                mv(p, extras, "style_encoder"), mels,
+                lengths=batch["mel_lengths"], update_stats=False,
+            )
+            s_trg = sg(jnp.concatenate([gs_full, s_dur_full], axis=-1))
+
+            bert_dur = models.bert.apply(
+                {"params": p["bert"]}, batch["tokens"],
+                (jnp.arange(batch["tokens"].shape[1])[None, :]
+                 < batch["input_lengths"][:, None]).astype(jnp.int32),
+            )
+            d_en = models.bert_encoder.apply({"params": p["bert_encoder"]}, bert_dur)
+            return (mels, asr, mono, d_gt, s_dur_full, s_trg, bert_dur, d_en,
+                    s2s_pred, s2s_attn)
+
+        # --------------------------------------------------------------
+        def g_loss_fn(g_params, params, extras, batch, starts, st_starts, key,
+                      sigma_data, num_steps_flags):
+            p = dict(params)
+            p.update(g_params)
+            sg = jax.lax.stop_gradient
+            k_al, k_diff, k_samp, k_dec, k_dec2, k_drop = jax.random.split(key, 6)
+            (mels, asr, mono, d_gt, s_dur_full, s_trg, bert_dur, d_en,
+             s2s_pred, s2s_attn) = shared_forward(p, extras, batch, k_al)
+            metrics = {}
+
+            # ---- diffusion (train_second.py:313-336)
+            if diff_on:
+                feats = None
+                if ms:
+                    ref_mels = preprocess_mel(batch["ref_waves"])
+                    ref_ss = models.style_encoder.apply(
+                        mv(p, extras, "style_encoder"), ref_mels,
+                        lengths=batch["ref_mel_lengths"],
+                    )
+                    ref_sp = models.predictor_encoder.apply(
+                        mv(p, extras, "predictor_encoder"), ref_mels,
+                        lengths=batch["ref_mel_lengths"],
+                    )
+                    feats = sg(jnp.concatenate([ref_ss, ref_sp], axis=-1))
+                    metrics["_has_feats"] = 1.0
+
+                def net_apply(x, c_noise, train=False, **kw):
+                    return models.diffusion.apply(
+                        {"params": p["diffusion"]}, x, c_noise, bert_dur,
+                        features=feats, embedding_mask_proba=0.1, train=train,
+                        rngs={"noise": k_diff},
+                    )
+
+                loss_diff = kdiffusion_loss(
+                    lambda x, c, **kw: net_apply(x, c, train=True),
+                    s_trg[:, None, :], k_diff, sigma_data,
+                    dist_mean=cfg.model_params.diffusion.dist.mean,
+                    dist_std=cfg.model_params.diffusion.dist.std,
+                )
+                denoise = make_denoise_fn(net_apply, sigma_data)
+                noise = jax.random.normal(k_samp, s_trg[:, None, :].shape)
+                # trainer samples 3 or 4 steps (train_second.py:314); the
+                # step count must be static → branch on a host coin
+                s3 = sample_adpm2(denoise, noise, k_samp, num_steps=3)[:, 0]
+                s4 = sample_adpm2(denoise, noise, k_samp, num_steps=4)[:, 0]
+                s_preds = jnp.where(num_steps_flags > 0, s4, s3)
+                loss_sty = jnp.mean(jnp.abs(s_preds - sg(s_trg)))
+                metrics.update(diff=loss_diff, sty=loss_sty)
+            else:
+                loss_diff = 0.0
+                loss_sty = 0.0
+
+            # ---- prosody predictor (train_second.py:341-344)
+            dur_logits, p_seq = models.predictor.apply(
+                {"params": p["predictor"]}, d_en, s_dur_full,
+                batch["input_lengths"], mono, train=True,
+                rngs={"dropout": k_drop},
+            )
+
+            # ---- clips (train_second.py:346-377)
+            en = clip_slice(asr, starts, clip_len)
+            p_en = clip_slice(p_seq, starts, clip_len)
+            gt = clip_slice(mels, starts * 2, 2 * clip_len, axis=2)
+            st = clip_slice(mels, st_starts * 2, 2 * clip_len, axis=2)
+            wav_clip = clip_slice(batch["waves"], starts * 600, clip_len * 600)
+
+            style_in = st if ms else gt
+            s_dur_clip = models.predictor_encoder.apply(
+                mv(p, extras, "predictor_encoder"), style_in, update_stats=False
+            )
+            s_clip = models.style_encoder.apply(
+                mv(p, extras, "style_encoder"), style_in, update_stats=False
+            )
+
+            F0_real, _, _ = models.pitch_extractor.apply(
+                mv(p, extras, "pitch_extractor"), gt
+            )
+            F0_real = sg(F0_real)
+            N_real = sg(log_norm(gt))
+            y_rec_gt_pred = sg(
+                models.decoder.apply(
+                    {"params": sg(p["decoder"])}, en, F0_real, N_real, sg(s_clip),
+                    rngs={"noise": k_dec},
+                )
+            )
+            wav_tgt = wav_clip if joint_on else y_rec_gt_pred
+
+            F0_fake, N_fake = models.predictor.apply(
+                {"params": p["predictor"]}, p_en, s_dur_clip, method="F0Ntrain",
+                train=True, rngs={"dropout": k_drop},
+            )
+            y_rec = models.decoder.apply(
+                {"params": p["decoder"]}, en, F0_fake, N_fake, s_clip,
+                train=joint_on, rngs={"noise": k_dec2},
+            )
+
+            loss_F0 = L.smooth_l1(F0_real, F0_fake) / 10.0
+            loss_norm = L.smooth_l1(N_real, N_fake)
+            loss_mel = L.multires_stft_loss(y_rec, wav_tgt)
+
+            if diff_on or ft:  # start_ds gates GAN losses; finetune: always
+                mpd_out = models.mpd.apply({"params": sg(p["mpd"])}, wav_tgt, y_rec)
+                msd_out = models.msd.apply({"params": sg(p["msd"])}, wav_tgt, y_rec)
+                loss_gen = L.generator_adv_loss(mpd_out, msd_out)
+            else:
+                loss_gen = 0.0
+
+            wav16 = resample_24k_to_16k(sg(wav_tgt))
+            rec16 = resample_24k_to_16k(y_rec)
+            wl_params = {"params": sg(params["wavlm"])}
+            real_states = [sg(h) for h in models.wavlm.apply(wl_params, wav16)]
+            rec_states = models.wavlm.apply(wl_params, rec16)
+            loss_slm = L.wavlm_feature_loss(real_states, rec_states)
+
+            dur_pred_sum = jax.nn.sigmoid(dur_logits).sum(-1)
+            loss_ce = L.duration_ce_loss(dur_logits, d_gt, batch["input_lengths"])
+            loss_dur = L.duration_l1_loss(dur_pred_sum, d_gt, batch["input_lengths"])
+
+            g_loss = (
+                lp.lambda_mel * loss_mel
+                + lp.lambda_F0 * loss_F0
+                + lp.lambda_ce * loss_ce
+                + lp.lambda_norm * loss_norm
+                + lp.lambda_dur * loss_dur
+                + lp.lambda_gen * loss_gen
+                + lp.lambda_slm * loss_slm
+                + lp.lambda_sty * loss_sty
+                + lp.lambda_diff * loss_diff
+            )
+            if ft:
+                from styletts2_tpu.train.stage1 import s2s_ce_loss
+
+                loss_s2s = s2s_ce_loss(
+                    s2s_pred, batch["tokens"], batch["input_lengths"]
+                )
+                loss_mono = jnp.mean(jnp.abs(s2s_attn - mono)) * 10.0
+                g_loss = g_loss + lp.lambda_s2s * loss_s2s + lp.lambda_mono * loss_mono
+                metrics.update(s2s=loss_s2s, mono=loss_mono)
+            metrics.update(
+                mel=loss_mel, F0=loss_F0, ce=loss_ce, norm=loss_norm,
+                dur=loss_dur, slm=loss_slm, g_loss=g_loss,
+            )
+            aux = {
+                "s_trg": s_trg,
+                "bert_dur": bert_dur,
+                "d_en": d_en,
+                "wav_tgt": wav_tgt,
+                "y_rec": y_rec,
+                "y_rec_gt": wav_clip,
+                "y_rec_gt_pred": y_rec_gt_pred,
+            }
+            if diff_on and ms:
+                aux["ref_feats"] = feats
+            return g_loss, (metrics, aux)
+
+        # --------------------------------------------------------------
+        def d_loss_fn(d_params, params, extras, batch, starts, st_starts, key,
+                      sigma_data):
+            """Discriminator pass: recompute y_rec (same keys) detached."""
+            p = dict(params)
+            p.update(d_params)
+            sg = jax.lax.stop_gradient
+            k_al, k_diff, k_samp, k_dec, k_dec2, k_drop = jax.random.split(key, 6)
+            (mels, asr, mono, d_gt, s_dur_full, s_trg, bert_dur, d_en,
+             _, _) = shared_forward(p, extras, batch, k_al, train=False)
+            dur_logits, p_seq = models.predictor.apply(
+                {"params": sg(p["predictor"])}, d_en, s_dur_full,
+                batch["input_lengths"], mono, train=True,
+                rngs={"dropout": k_drop},
+            )
+            en = clip_slice(asr, starts, clip_len)
+            p_en = clip_slice(p_seq, starts, clip_len)
+            gt = clip_slice(mels, starts * 2, 2 * clip_len, axis=2)
+            st = clip_slice(mels, st_starts * 2, 2 * clip_len, axis=2)
+            wav_clip = clip_slice(batch["waves"], starts * 600, clip_len * 600)
+            style_in = st if ms else gt
+            s_dur_clip = models.predictor_encoder.apply(
+                mv(p, extras, "predictor_encoder"), style_in, update_stats=False
+            )
+            s_clip = models.style_encoder.apply(
+                mv(p, extras, "style_encoder"), style_in, update_stats=False
+            )
+            F0_real, _, _ = models.pitch_extractor.apply(
+                mv(p, extras, "pitch_extractor"), gt
+            )
+            N_real = log_norm(gt)
+            if joint_on:
+                wav_tgt = wav_clip
+            else:
+                wav_tgt = models.decoder.apply(
+                    {"params": sg(p["decoder"])}, en, sg(F0_real), sg(N_real),
+                    sg(s_clip), rngs={"noise": k_dec},
+                )
+            F0_fake, N_fake = models.predictor.apply(
+                {"params": sg(p["predictor"])}, p_en, s_dur_clip,
+                method="F0Ntrain", train=True, rngs={"dropout": k_drop},
+            )
+            y_rec = models.decoder.apply(
+                {"params": sg(p["decoder"])}, en, F0_fake, N_fake, s_clip,
+                train=joint_on, rngs={"noise": k_dec2},
+            )
+            y_rec = sg(y_rec)
+            wav_tgt = sg(wav_tgt)
+            mpd_out = models.mpd.apply({"params": p["mpd"]}, wav_tgt, y_rec)
+            msd_out = models.msd.apply({"params": p["msd"]}, wav_tgt, y_rec)
+            return L.discriminator_adv_loss(mpd_out, msd_out)
+
+        # --------------------------------------------------------------
+        def slm_gen_loss_fn(slm_params, params, extras, batch, key,
+                            sigma_data, aux, use_ind_flag, steps_flag):
+            """SLM-adversarial generator pass (slmadv.py:20-190)."""
+            p = dict(params)
+            p.update(slm_params)
+            sg = jax.lax.stop_gradient
+            k_samp, k_start, k_start2, k_drop = jax.random.split(key, 4)
+            K = slm_bs
+            ref_tokens = batch["ref_tokens"][:K]
+            ref_lengths = batch["ref_lengths"][:K]
+            T_ref = ref_tokens.shape[1]
+            valid = (jnp.arange(T_ref)[None, :] < ref_lengths[:, None]).astype(jnp.int32)
+
+            bert_dur = models.bert.apply({"params": p["bert"]}, ref_tokens, valid)
+            d_en = models.bert_encoder.apply({"params": p["bert_encoder"]}, bert_dur)
+
+            s_trg = aux["s_trg"][:K]
+
+            def net_apply(x, c_noise, **kw):
+                return models.diffusion.apply(
+                    {"params": p["diffusion"]}, x, c_noise, bert_dur,
+                    features=aux.get("ref_feats"), embedding_mask_proba=0.1,
+                    train=True, rngs={"noise": k_samp},
+                )
+
+            denoise = make_denoise_fn(net_apply, sigma_data)
+            noise = jax.random.normal(k_samp, s_trg[:, None, :].shape)
+            s3 = sample_adpm2(denoise, noise, k_samp, num_steps=3)[:, 0]
+            s4 = sample_adpm2(denoise, noise, k_samp, num_steps=4)[:, 0]
+            s_sampled = jnp.where(steps_flag > 0, s4, s3)
+            s_preds = jnp.where(use_ind_flag > 0, s_trg, s_sampled)
+
+            s_dur = s_preds[:, 128:]
+            s_ac = s_preds[:, :128]
+
+            d_only = models.predictor.apply(
+                {"params": p["predictor"]}, d_en, s_dur, ref_lengths,
+                method="encode_texts", train=True, rngs={"dropout": k_drop},
+            )
+            dur_logits = models.predictor.apply(
+                {"params": p["predictor"]}, d_only, ref_lengths,
+                method="duration", train=True, rngs={"dropout": k_drop},
+            )
+            attn, total = soft_alignment(
+                dur_logits, ref_lengths, slm_frames, sig=sa.sig
+            )
+
+            t_en = sg(
+                models.text_encoder.apply(
+                    {"params": sg(params["text_encoder"])}, ref_tokens, ref_lengths
+                )
+            )
+            asr_pred = jnp.einsum("btc,btf->bfc", t_en, attn)
+            _, p_pred = models.predictor.apply(
+                {"params": p["predictor"]}, d_en, s_dur, ref_lengths, attn,
+                train=True, rngs={"dropout": k_drop},
+            )
+
+            # validity + random clip starts (slmadv.py:117-140)
+            gt_half = batch["mel_lengths"][:K] // 2
+            valid_b = (total > slm_clip) & (gt_half > slm_clip)
+            max_start = jnp.maximum(jnp.minimum(total, slm_frames) - slm_clip, 1)
+            starts = (
+                jax.random.uniform(k_start, (K,)) * max_start
+            ).astype(jnp.int32)
+            en = clip_slice(asr_pred, starts, slm_clip)
+            p_en = clip_slice(p_pred, starts, slm_clip)
+
+            F0_fake, N_fake = models.predictor.apply(
+                {"params": p["predictor"]}, p_en, s_dur, method="F0Ntrain",
+                train=True, rngs={"dropout": k_drop},
+            )
+            y_pred = models.decoder.apply(
+                {"params": sg(params["decoder"])}, en, F0_fake, N_fake, s_ac,
+                rngs={"noise": k_start2},
+            )
+            # generator LSGAN loss through frozen WavLM + wd head
+            rec16 = resample_24k_to_16k(y_pred)
+            states = models.wavlm.apply({"params": sg(params["wavlm"])}, rec16)
+            d_g = models.wd.apply(
+                {"params": sg(params["wd"])}, L.stack_wavlm_states(states)
+            )
+            w = valid_b.astype(jnp.float32)[:, None]
+            gen_loss = jnp.sum(((1.0 - d_g) ** 2) * w) / jnp.maximum(
+                jnp.sum(w) * d_g.shape[1], 1.0
+            )
+            return gen_loss, (y_pred, valid_b)
+
+        # --------------------------------------------------------------
+        def slm_d_loss_fn(wd_params, params, batch, y_pred, aux, valid_b,
+                          use_rec_flag, key):
+            """SLM discriminator update (slmadv.py:142-180 + recon reg)."""
+            sg = jax.lax.stop_gradient
+            K = slm_bs
+            wd_vars = {"params": wd_params["wd"]}
+            wl_params = {"params": sg(params["wavlm"])}
+
+            gt_half = batch["mel_lengths"][:K] // 2
+            max_start = jnp.maximum(gt_half - slm_clip, 1)
+            starts = (jax.random.uniform(key, (K,)) * max_start).astype(jnp.int32)
+            wav = clip_slice(batch["waves"][:K], starts * 600, slm_clip * 600)
+            real = jnp.where(use_rec_flag > 0, aux["y_rec_gt_pred_slm"], wav)
+
+            def wd_of(x):
+                st = models.wavlm.apply(wl_params, resample_24k_to_16k(sg(x)))
+                return models.wd.apply(wd_vars, L.stack_wavlm_states([sg(h) for h in st]))
+
+            d_r = wd_of(real)
+            d_g = wd_of(y_pred)
+            w = valid_b.astype(jnp.float32)[:, None]
+            denom = jnp.maximum(jnp.sum(w) * d_r.shape[1], 1.0)
+            d_loss = (
+                jnp.sum(((1.0 - d_r) ** 2) * w) + jnp.sum((d_g ** 2) * w)
+            ) / denom
+            # reconstruction-invariance regularizer (slmadv.py:172-177)
+            out_gt = wd_of(aux["y_rec_gt"])
+            out_rec = wd_of(aux["y_rec_gt_pred"])
+            d_loss = d_loss + jnp.mean(jnp.abs(out_gt - out_rec)) * (
+                use_rec_flag > 0
+            ).astype(jnp.float32)
+            return d_loss
+
+        # --------------------------------------------------------------
+        @jax.jit
+        def step(params, extras, opt_states, batch, starts, st_starts, key,
+                 sigma_data, coins):
+            sg = jax.lax.stop_gradient
+            metrics = {}
+            k_d, k_g, k_slm, k_slmd = jax.random.split(key, 4)
+
+            # σ_data batch estimate (train_second.py:316-318) needs s_trg:
+            # computed inside g_loss_fn; we fold the update after the step.
+
+            if diff_on or ft:
+                d_params = {k: params[k] for k in d_keys}
+                d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+                    d_params, params, extras, batch, starts, st_starts, k_g,
+                    sigma_data,
+                )
+                params, opt_states = apply_module_updates(
+                    params, opt_states, d_grads, txs, d_keys
+                )
+                metrics["d_loss"] = d_loss
+
+            g_params = {k: params[k] for k in g_keys}
+            (g_loss, (g_metrics, aux)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(g_params, params, extras, batch, starts, st_starts, k_g,
+              sigma_data, coins["num_steps"])
+            params, opt_states = apply_module_updates(
+                params, opt_states, g_grads, txs, g_keys
+            )
+            metrics.update(g_metrics)
+
+            new_sigma = jnp.mean(jnp.std(aux["s_trg"], axis=-1))
+
+            if joint_on:
+                rec = sg(aux["y_rec_gt_pred"])[:slm_bs]
+                need = slm_clip * 600
+                if rec.shape[1] < need:
+                    rec = jnp.pad(rec, ((0, 0), (0, need - rec.shape[1])))
+                else:
+                    rec = rec[:, :need]
+                aux_slm = {
+                    "s_trg": sg(aux["s_trg"]),
+                    "y_rec_gt": sg(aux["y_rec_gt"]),
+                    "y_rec_gt_pred": sg(aux["y_rec_gt_pred"]),
+                    "y_rec_gt_pred_slm": rec,
+                }
+                if "ref_feats" in aux:
+                    aux_slm["ref_feats"] = sg(aux["ref_feats"])[:slm_bs]
+                slm_params = {k: params[k] for k in slm_keys}
+                (slm_loss, (y_pred, valid_b)), slm_grads = jax.value_and_grad(
+                    slm_gen_loss_fn, has_aux=True
+                )(slm_params, params, extras, batch, k_slm, sigma_data, aux_slm,
+                  coins["use_ind"], coins["num_steps"])
+
+                # reference grad post-processing (train_second.py:498-525)
+                pred_norm = optax.global_norm(slm_grads["predictor"])
+                scale_all = jnp.where(
+                    pred_norm > sa.thresh, 1.0 / jnp.maximum(pred_norm, 1e-8), 1.0
+                )
+                slm_grads = jax.tree.map(lambda g: g * scale_all, slm_grads)
+
+                def scale_sub(tree, subkeys, factor):
+                    t = dict(tree)
+                    for skk in subkeys:
+                        if skk in t:
+                            t[skk] = jax.tree.map(lambda g: g * factor, t[skk])
+                    return t
+
+                slm_grads["predictor"] = scale_sub(
+                    slm_grads["predictor"], ("duration_proj", "lstm"), sa.scale
+                )
+                slm_grads["diffusion"] = jax.tree.map(
+                    lambda g: g * sa.scale, slm_grads["diffusion"]
+                )
+                params, opt_states = apply_module_updates(
+                    params, opt_states, slm_grads, txs, slm_keys
+                )
+                metrics["slm_gen"] = slm_loss
+
+                # SLM discriminator every `iter` steps (coins["slm_d"])
+                def run_wd(params, opt_states):
+                    wd_params = {"wd": params["wd"]}
+                    wd_loss, wd_grads = jax.value_and_grad(slm_d_loss_fn)(
+                        wd_params, params, batch, sg(y_pred), aux_slm, valid_b,
+                        coins["use_rec"], k_slmd,
+                    )
+                    pp, oo = apply_module_updates(
+                        params, opt_states, wd_grads, txs, ("wd",)
+                    )
+                    return pp, oo, wd_loss
+
+                def skip_wd(params, opt_states):
+                    return params, opt_states, jnp.asarray(0.0)
+
+                do_wd = coins["slm_d"] > 0
+                # static python branch is not possible (traced coin) → run
+                # both via cond on the small wd update only
+                params, opt_states, wd_loss = jax.lax.cond(
+                    do_wd, run_wd, skip_wd, params, opt_states
+                )
+                metrics["slm_d"] = wd_loss
+
+            return params, extras, opt_states, metrics, new_sigma
+
+        return step
+
+    # ------------------------------------------------------------------
+    def train_step(self, batch: Batch, epoch: int, iters: int,
+                   rng: np.random.Generator) -> Optional[Dict[str, float]]:
+        cfg = self.cfg
+        diff_on = epoch >= cfg.loss_params.diff_epoch
+        joint_on = epoch >= cfg.loss_params.joint_epoch
+
+        half = batch.mel_lengths // 2
+        clip_len = int(min(int(half.min()) - 1, cfg.max_len // 2))
+        clip_len = max(40, (clip_len // 40) * 40)
+        if int(half.min()) - 1 < 40:
+            return None
+        starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
+        st_starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
+
+        sa = cfg.slmadv_params
+        slm_clip = sa.min_len // 2
+        slm_frames = max(sa.max_len, 2 * slm_clip + 40)
+        slm_bs = max(2, int(len(batch.mel_lengths) * sa.batch_percentage))
+
+        skey = (batch.tokens.shape[1], batch.waves.shape[1],
+                batch.ref_tokens.shape[1], clip_len, diff_on, joint_on)
+        if skey not in self._steps:
+            self._steps[skey] = self._make_step(
+                clip_len, diff_on, joint_on, slm_frames, slm_clip, slm_bs
+            )
+        step = self._steps[skey]
+
+        use_ind = rng.random() < 0.5
+        bdict = {
+            "waves": jnp.asarray(batch.waves),
+            "tokens": jnp.asarray(batch.tokens),
+            "input_lengths": jnp.asarray(batch.input_lengths),
+            "mel_lengths": jnp.asarray(batch.mel_lengths),
+            "ref_tokens": jnp.asarray(
+                batch.tokens if use_ind else batch.ref_tokens
+            ),
+            "ref_lengths": jnp.asarray(
+                batch.input_lengths if use_ind else batch.ref_lengths
+            ),
+            "ref_waves": jnp.asarray(batch.ref_waves),
+            "ref_mel_lengths": jnp.asarray(
+                np.minimum(batch.ref_wave_lengths // 300 + 1, batch.ref_waves.shape[1] // 300)
+            ),
+        }
+        coins = {
+            "num_steps": jnp.asarray(int(rng.integers(0, 2))),
+            "use_ind": jnp.asarray(int(use_ind and rng.random() < 0.5)),
+            "use_rec": jnp.asarray(int(rng.integers(0, 2))),
+            "slm_d": jnp.asarray(int((iters + 1) % sa.iter == 0)),
+        }
+        key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
+        params, extras, opt_states, metrics, new_sigma = step(
+            self.state.params, self.state.extras, self.state.opt_states,
+            bdict, jnp.asarray(starts), jnp.asarray(st_starts), key,
+            jnp.asarray(self.state.sigma_data, jnp.float32), coins,
+        )
+        self.state.params = params
+        self.state.extras = extras
+        self.state.opt_states = opt_states
+        self.state.step += 1
+        if diff_on and cfg.model_params.diffusion.dist.estimate_sigma_data:
+            self.state.sigma_data = float(new_sigma)
+            self.running_std.append(self.state.sigma_data)
+        return {k: float(v) for k, v in metrics.items()}
+

@@ -14,7 +14,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: repeated suite runs skip XLA recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_tests")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import numpy as np  # noqa: E402
