@@ -500,7 +500,7 @@ def convert_styletts2_checkpoint(state: Dict[str, Any], cfg) -> Dict[str, Any]:
         "style_encoder": convert_style_encoder,
         "predictor_encoder": convert_style_encoder,
         "predictor": lambda sd: convert_predictor(sd, mp.n_layer),
-        "decoder": convert_decoder_istftnet,
+        "decoder": (convert_decoder_istftnet if mp.decoder.type == "istftnet" else lambda sd: convert_decoder_hifigan(sd, len(mp.decoder.upsample_rates))),
         "diffusion": lambda sd: convert_diffusion(
             sd, mp.diffusion.transformer.num_layers, mp.multispeaker
         ),
@@ -524,3 +524,31 @@ def convert_styletts2_checkpoint(state: Dict[str, Any], cfg) -> Dict[str, Any]:
             except KeyError as e:  # pragma: no cover
                 raise KeyError(f"converting module '{key}': missing {e}") from e
     return out
+
+
+def convert_decoder_hifigan(
+    sd: Dict[str, Any], num_upsamples: int = 4, num_kernels: int = 3
+) -> Dict[str, Any]:
+    """HiFi-GAN decoder variant (Modules/hifigan.py:272-347, 416-476)."""
+    p: Dict[str, Any] = {}
+    p["encode"] = _adain_res_blk1d(sd, "encode")
+    for i in range(4):
+        p[f"decode_{i}"] = _adain_res_blk1d(sd, f"decode.{i}", upsample=(i == 3))
+    p["F0_conv"] = wnconv1d(sd, "F0_conv")
+    p["N_conv"] = wnconv1d(sd, "N_conv")
+    p["asr_res"] = wnconv1d(sd, "asr_res.0")
+    g: Dict[str, Any] = {}
+    g["m_source"] = {"l_linear": lin(sd, "generator.m_source.l_linear")}
+    for i in range(num_upsamples + 1):
+        g[f"alpha_{i}"] = t(sd[f"generator.alphas.{i}"]).transpose(0, 2, 1)
+    for i in range(num_upsamples):
+        g[f"ups_{i}"] = wnconvtr1d(sd, f"generator.ups.{i}")
+        g[f"noise_convs_{i}"] = conv1d(sd, f"generator.noise_convs.{i}")
+        g[f"noise_res_{i}"] = _adain_res_block1(sd, f"generator.noise_res.{i}")
+        for j in range(num_kernels):
+            g[f"resblocks_{i}_{j}"] = _adain_res_block1(
+                sd, f"generator.resblocks.{i * num_kernels + j}"
+            )
+    g["conv_post"] = wnconv1d(sd, "generator.conv_post")
+    p["generator"] = g
+    return {"params": p}

@@ -227,6 +227,63 @@ class Synthesizer:
             wav = wav[:-trim_samples]
         return wav, np.asarray(s_out)
 
+    def inference_batch(
+        self,
+        texts,
+        ref_s: Optional[np.ndarray] = None,
+        alpha: float = 0.3,
+        beta: float = 0.7,
+        diffusion_steps: int = 5,
+        embedding_scale: float = 1.0,
+        seed: int = 0,
+    ):
+        """Length-masked batched synthesis of N utterances (first-class here;
+        the reference only exposes single-utterance notebook functions).
+        Returns a list of per-utterance float32 waveforms."""
+        toks = [encode_text(t) for t in texts]
+        B = len(toks)
+        L = max(len(t) for t in toks)
+        T = _bucket(L, self.text_bucket, self.text_bucket)
+        tokens = np.zeros((B, T), np.int32)
+        for i, t in enumerate(toks):
+            tokens[i, : len(t)] = t
+        lengths = np.asarray([len(t) for t in toks], np.int32)
+
+        key = jax.random.PRNGKey(seed)
+        k_samp, k_dec = jax.random.split(key)
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed + 1), (B, 1, 2 * self.style_dim)
+        )
+        if ref_s is None:
+            ref_s_arr = jnp.zeros((B, 2 * self.style_dim), jnp.float32)
+        else:
+            ref_s_arr = jnp.broadcast_to(
+                jnp.asarray(ref_s, jnp.float32), (B, 2 * self.style_dim)
+            )
+        s_prev = jnp.zeros((B, 2 * self.style_dim), jnp.float32)
+
+        pa = self._get_phase_a(diffusion_steps, embedding_scale)
+        t_en, d, s, ref, s_out, pred_dur = pa(
+            self.params, jnp.asarray(tokens), jnp.asarray(lengths), noise,
+            k_samp, ref_s_arr, alpha, beta, s_prev, 0.0,
+        )
+        pred_dur = np.array(pred_dur)
+        if not self.multispeaker:
+            for i, l in enumerate(lengths):
+                pred_dur[i, l - 1] += 5
+        totals = pred_dur.sum(axis=1)
+        F = _bucket(int(totals.max()), self.frame_bucket, self.frame_bucket)
+        pb = self._get_phase_b(F)
+        wavs = np.asarray(
+            pb(self.params, t_en, d, s, ref, jnp.asarray(pred_dur), k_dec)
+        )
+        trim = 50 if self.multispeaker else 0
+        out = []
+        for i, tot in enumerate(totals):
+            n = int(tot) * 600 - trim
+            out.append(wavs[i, :n])
+        return out
+
     def LFinference(
         self,
         text: str,
