@@ -112,8 +112,23 @@ class SourceModuleHnNSF(nn.Module):
         return sine_merge, uv
 
 
+class _StyleAffine(nn.Module):
+    """AdaIN's style→(γ, β) projection with AdaIN1d's param layout
+    (fc kernel/bias) so checkpoints convert identically."""
+
+    num_features: int
+
+    @nn.compact
+    def __call__(self, s):
+        h = nn.Dense(self.num_features * 2, name="fc")(s)
+        return jnp.split(h, 2, axis=-1)
+
+
 class AdaINResBlock1(nn.Module):
-    """Snake-activated AdaIN residual block (istftnet.py:27-75)."""
+    """Snake-activated AdaIN residual block (istftnet.py:27-75).
+
+    The instance-norm + style affine + snake chain runs as one fused Pallas
+    VMEM pass on TPU (ops/pallas_kernels.py), jnp composition elsewhere."""
 
     channels: int
     kernel_size: int = 3
@@ -121,16 +136,19 @@ class AdaINResBlock1(nn.Module):
 
     @nn.compact
     def __call__(self, x, s):
+        from styletts2_tpu.ops.pallas_kernels import adain_snake
+
         C = self.channels
+        use_pallas = jax.default_backend() == "tpu"
         for j, d in enumerate(self.dilations):
             a1 = self.param(f"alpha1_{j}", nn.initializers.ones, (1, 1, C))
             a2 = self.param(f"alpha2_{j}", nn.initializers.ones, (1, 1, C))
-            h = AdaIN1d(C, name=f"adain1_{j}")(x, s)
-            h = snake(h, a1)
+            g1, b1 = _StyleAffine(C, name=f"adain1_{j}")(s)
+            h = adain_snake(x, g1, b1, a1.reshape(-1), use_pallas=use_pallas)
             pad = (self.kernel_size - 1) * d // 2
             h = WNConv1d(C, self.kernel_size, padding=pad, dilation=d, name=f"conv1_{j}")(h)
-            h = AdaIN1d(C, name=f"adain2_{j}")(h, s)
-            h = snake(h, a2)
+            g2, b2 = _StyleAffine(C, name=f"adain2_{j}")(s)
+            h = adain_snake(h, g2, b2, a2.reshape(-1), use_pallas=use_pallas)
             pad1 = (self.kernel_size - 1) // 2
             h = WNConv1d(C, self.kernel_size, padding=pad1, name=f"conv2_{j}")(h)
             x = x + h

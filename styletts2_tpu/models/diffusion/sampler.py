@@ -216,3 +216,135 @@ SAMPLERS = {
     "aeuler": sample_aeuler,
     "karras": sample_karras,
 }
+
+
+# ---------------------------------------------------------------------------
+# V-diffusion family + inpainting (reference sampler.py:119-163, 364-391,
+# 521-544, 589-655 — unused by the shipped configs but part of the API)
+# ---------------------------------------------------------------------------
+
+
+def v_get_alpha_beta(sigmas):
+    angle = sigmas * np.pi / 2.0
+    return jnp.cos(angle), jnp.sin(angle)
+
+
+def vdiffusion_loss(net_apply: Callable, x0, key, **net_kwargs):
+    """VDiffusion training loss (sampler.py:145-162)."""
+    B = x0.shape[0]
+    k_s, k_n = jax.random.split(key)
+    sigmas = jax.random.uniform(k_s, (B,))
+    noise = jax.random.normal(k_n, x0.shape, dtype=x0.dtype)
+    alpha, beta = v_get_alpha_beta(sigmas[:, None, None])
+    x_noisy = x0 * alpha + noise * beta
+    x_target = noise * alpha - x0 * beta
+    return jnp.mean((net_apply(x_noisy, sigmas, **net_kwargs) - x_target) ** 2)
+
+
+def sample_v(denoise_fn: Callable, noise, key, num_steps: int, clamp: bool = False,
+             **net_kwargs):
+    """VSampler over a linear schedule (sampler.py:364-391)."""
+    del key
+    sigmas = jnp.asarray(linear_schedule(num_steps))
+    x = sigmas[0] * noise
+    B = noise.shape[0]
+
+    def body(carry, inp):
+        x, alpha, beta = carry
+        sigma, sigma_next = inp
+        x_denoised = denoise_fn(x, jnp.full((B,), sigma), **net_kwargs)
+        x_pred = x * alpha - x_denoised * beta
+        x_eps = x * beta + x_denoised * alpha
+        alpha_n, beta_n = v_get_alpha_beta(sigma_next)
+        x_new = x_pred * alpha_n + x_eps * beta_n
+        return (x_new, alpha_n, beta_n), x_pred
+
+    a0, b0 = v_get_alpha_beta(sigmas[0])
+    pairs = (sigmas[:-1], jnp.concatenate([sigmas[1:], sigmas[-1:]]))
+    (_, _, _), preds = jax.lax.scan(body, (x, a0, b0), pairs)
+    out = preds[-1]
+    return jnp.clip(out, -1.0, 1.0) if clamp else out
+
+
+def inpaint_adpm2(
+    denoise_fn: Callable,
+    source: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jax.Array,
+    num_steps: int,
+    num_resamples: int = 1,
+    sigma_min: float = 1e-4,
+    sigma_max: float = 3.0,
+    rho_schedule: float = 9.0,
+    rho: float = 1.0,
+    **net_kwargs,
+) -> jnp.ndarray:
+    """ADPM2 inpainting (sampler.py:521-544): keep masked region from the
+    noised source each step; resample between denoise passes."""
+    sigmas = jnp.asarray(karras_schedule(num_steps, sigma_min, sigma_max, rho_schedule))
+    B = source.shape[0]
+    k0, key = jax.random.split(key)
+    x = sigmas[0] * jax.random.normal(k0, source.shape, dtype=source.dtype)
+    maskf = mask.astype(source.dtype)
+
+    def adpm2_step(x, sigma, sigma_next, k):
+        sig2, sn2 = sigma * sigma, sigma_next * sigma_next
+        sigma_up = jnp.sqrt(jnp.maximum(sn2 * (sig2 - sn2) / sig2, 0.0))
+        sigma_down = jnp.sqrt(jnp.maximum(sn2 - sigma_up ** 2, 0.0))
+        sigma_mid = ((sigma ** (1 / rho) + sigma_down ** (1 / rho)) / 2.0) ** rho
+        d = (x - denoise_fn(x, jnp.full((B,), sigma), **net_kwargs)) / sigma
+        x_mid = x + d * (sigma_mid - sigma)
+        d_mid = (x_mid - denoise_fn(x_mid, jnp.full((B,), sigma_mid), **net_kwargs)) / sigma_mid
+        x = x + d_mid * (sigma_down - sigma)
+        return x + jax.random.normal(k, x.shape, dtype=x.dtype) * sigma_up
+
+    def outer(x, inp):
+        sigma, sigma_next, k = inp
+        ks = jax.random.split(k, 2 * num_resamples + 1)
+        source_noisy = source + sigma * jax.random.normal(ks[0], source.shape, source.dtype)
+
+        def resample(r, x):
+            x = source_noisy * maskf + x * (1.0 - maskf)
+            x = adpm2_step(x, sigma, sigma_next, ks[1 + r])
+            renoise = jnp.sqrt(jnp.maximum(sigma ** 2 - sigma_next ** 2, 0.0))
+            x = jnp.where(
+                r < num_resamples - 1,
+                x + renoise * jax.random.normal(ks[1 + num_resamples + r], x.shape, x.dtype),
+                x,
+            )
+            return x
+
+        x = jax.lax.fori_loop(0, num_resamples, resample, x)
+        return x, None
+
+    keys = jax.random.split(key, num_steps - 1)
+    x, _ = jax.lax.scan(outer, x, (sigmas[:-2], sigmas[1:-1], keys))
+    return source * maskf + x * (1.0 - maskf)
+
+
+def span_by_span_compose(
+    denoise_fn: Callable,
+    start: jnp.ndarray,
+    key: jax.Array,
+    num_spans: int,
+    num_steps: int,
+    num_resamples: int = 1,
+    keep_start: bool = False,
+    **kwargs,
+) -> jnp.ndarray:
+    """SpanBySpanComposer (sampler.py:626-655): autoregressive half-window
+    continuation via inpainting."""
+    B, C, L = start.shape
+    half = L // 2
+    maskf = jnp.zeros((B, C, L)).at[:, :, :half].set(1.0)
+    spans = [start[:, :, :half], start[:, :, half:]] if keep_start else []
+    inpaint = jnp.zeros_like(start).at[:, :, :half].set(start[:, :, half:])
+    for i in range(num_spans):
+        key, k = jax.random.split(key)
+        span = inpaint_adpm2(
+            denoise_fn, inpaint, maskf, k, num_steps, num_resamples, **kwargs
+        )
+        second = span[:, :, half:]
+        inpaint = inpaint.at[:, :, :half].set(second)
+        spans.append(second)
+    return jnp.concatenate(spans, axis=2)

@@ -1,0 +1,126 @@
+"""Pallas TPU kernels for the hot elementwise/reduction paths.
+
+The iSTFTNet/HiFi-GAN decoder applies AdaIN (instance norm over time +
+style-conditioned affine) followed by the snake activation 6× per residual
+block, 21 blocks deep (Modules/istftnet.py:66-75) — memory-bound chains
+between MXU convs. `fused_adain_snake` performs
+    y = snake((1+γ)·IN_T(x) + β, α)
+in a single VMEM pass per (batch, channel-tile): one HBM read + one write
+instead of several, with the time-axis mean/variance computed in-kernel.
+
+Falls back to the pure-jnp composition off-TPU (tests run the kernel in
+interpreter mode for correctness).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from styletts2_tpu.models.layers import instance_norm, snake
+
+
+def _adain_snake_ref(x, gamma, beta, alpha, eps=1e-5):
+    """Reference composition (AdaIN1d + snake, models/layers.py)."""
+    y = instance_norm(x, axis=1, eps=eps)
+    y = (1.0 + gamma[:, None, :]) * y + beta[:, None, :]
+    return snake(y, alpha)
+
+
+def _kernel(x_ref, gamma_ref, beta_ref, alpha_ref, out_ref):
+    # block: (1, T, Ct) — full time axis per (batch, channel-tile) program
+    x = x_ref[0]  # (T, Ct)
+    T = x.shape[0]
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=0, keepdims=True)
+    xhat = xc * jax.lax.rsqrt(var + 1e-5)
+    g = gamma_ref[0][None, :]
+    b = beta_ref[0][None, :]
+    a = alpha_ref[0][None, :]
+    y = (1.0 + g) * xhat + b
+    s = jnp.sin(a * y)
+    out_ref[0] = y + (s * s) / a
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_adain_snake(x, gamma, beta, alpha, interpret: bool = False):
+    """x: (B, T, C); gamma/beta: (B, C) style affine; alpha: (C,) snake.
+
+    Equivalent to `snake(AdaIN(x, s), alpha)` with the AdaIN fc already
+    applied (gamma/beta precomputed)."""
+    B, T, C = x.shape
+    CT = min(C, 128)
+    if C % CT != 0:
+        return _adain_snake_ref(x, gamma, beta, jnp.broadcast_to(alpha, (1, 1, C)))
+    grid = (B, C // CT)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, T, CT), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CT), lambda b, c: (b, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CT), lambda b, c: (b, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CT), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T, CT), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        interpret=interpret,
+    )(x, gamma, beta, jnp.broadcast_to(alpha.reshape(1, -1), (1, C)))
+
+
+@jax.custom_vjp
+def _adain_snake_pallas(x, gamma, beta, alpha):
+    return fused_adain_snake(x, gamma, beta, alpha)
+
+
+def _fwd(x, gamma, beta, alpha):
+    return fused_adain_snake(x, gamma, beta, alpha), (x, gamma, beta, alpha)
+
+
+def _bwd(res, dy):
+    """Analytic VJP of snake((1+γ)·IN_T(x)+β, α); recomputes the cheap
+    normalization statistics instead of saving activations."""
+    x, gamma, beta, alpha = res
+    eps = 1e-5
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = xc * inv
+    g1 = 1.0 + gamma[:, None, :]
+    z = g1 * xhat + beta[:, None, :]
+    a = alpha.reshape(1, 1, -1)
+    s2az = jnp.sin(2.0 * a * z)
+    dz = dy * (1.0 + s2az)
+    saz = jnp.sin(a * z)
+    dalpha = jnp.sum(
+        dy * (z * s2az / a - (saz * saz) / (a * a)), axis=(0, 1)
+    )
+    dgamma = jnp.sum(dz * xhat, axis=1)
+    dbeta = jnp.sum(dz, axis=1)
+    dz_g = dz * g1
+    dx = inv * (
+        dz_g
+        - jnp.mean(dz_g, axis=1, keepdims=True)
+        - xhat * jnp.mean(dz_g * xhat, axis=1, keepdims=True)
+    )
+    return dx, dgamma, dbeta, dalpha
+
+
+_adain_snake_pallas.defvjp(_fwd, _bwd)
+
+
+def adain_snake(x, gamma, beta, alpha, use_pallas: bool | None = None):
+    """Dispatch: Pallas (custom-VJP) on TPU, jnp composition elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _adain_snake_pallas(x, gamma, beta, alpha)
+    return _adain_snake_ref(x, gamma, beta, jnp.broadcast_to(alpha.reshape(1, 1, -1), (1, 1, x.shape[-1])))
