@@ -152,6 +152,13 @@ def run_stage(stage: str, config_path: str, max_steps: int | None = None):
             vals = [v for v in vals if v is not None]
             if vals:
                 writer.scalars({"eval/mel": float(np.mean(vals))}, iters)
+        else:
+            vals = [trainer.validate(b, rng) for b in val_loader]
+            vals = [v for v in vals if v is not None]
+            if vals:
+                agg = {f"eval/{k}": float(np.mean([v[k] for v in vals]))
+                       for k in vals[0]}
+                writer.scalars(agg, iters)
 
         trainer.state.epoch = epoch + 1
         if (epoch + 1) % cfg.save_freq == 0:

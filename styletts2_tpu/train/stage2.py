@@ -593,6 +593,77 @@ class Stage2Trainer:
         return step
 
     # ------------------------------------------------------------------
+    def validate(self, batch: Batch, rng: np.random.Generator) -> Optional[Dict[str, float]]:
+        """Validation mel/dur/F0 losses (train_second.py:569-676), eager."""
+        cfg = self.cfg
+        models = self.models
+        p = self.state.params
+        extras = self.state.extras
+        half = batch.mel_lengths // 2
+        clip_len = int(min(int(half.min()) - 1, cfg.max_len // 2))
+        clip_len = max(40, (clip_len // 40) * 40)
+        if int(half.min()) - 1 < 40:
+            return None
+        starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
+        bdict = {
+            "waves": jnp.asarray(batch.waves),
+            "tokens": jnp.asarray(batch.tokens),
+            "input_lengths": jnp.asarray(batch.input_lengths),
+            "mel_lengths": jnp.asarray(batch.mel_lengths),
+        }
+        key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
+        mels = preprocess_mel(bdict["waves"])
+        mels = mels[:, :, : (mels.shape[-1] // 2) * 2]
+        _, _, _, mono = aligner_pass(
+            models, {"text_aligner": {"params": p["text_aligner"]}},
+            mels, bdict["mel_lengths"], bdict["tokens"], bdict["input_lengths"],
+            key, train=False,
+        )
+        t_en = models.text_encoder.apply(
+            {"params": p["text_encoder"]}, bdict["tokens"], bdict["input_lengths"]
+        )
+        asr = jnp.einsum("btc,btl->blc", t_en, mono)
+        d_gt = mono.sum(axis=-1)
+        s_dur_full = models.predictor_encoder.apply(
+            {"params": p["predictor_encoder"], **extras.get("predictor_encoder", {})},
+            mels, lengths=bdict["mel_lengths"],
+        )
+        valid = (jnp.arange(bdict["tokens"].shape[1])[None, :]
+                 < bdict["input_lengths"][:, None]).astype(jnp.int32)
+        bert_dur = models.bert.apply({"params": p["bert"]}, bdict["tokens"], valid)
+        d_en = models.bert_encoder.apply({"params": p["bert_encoder"]}, bert_dur)
+        dur_logits, p_seq = models.predictor.apply(
+            {"params": p["predictor"]}, d_en, s_dur_full,
+            bdict["input_lengths"], mono,
+        )
+        en = clip_slice(asr, jnp.asarray(starts), clip_len)
+        p_en = clip_slice(p_seq, jnp.asarray(starts), clip_len)
+        gt = clip_slice(mels, jnp.asarray(starts) * 2, 2 * clip_len, axis=2)
+        wav_clip = clip_slice(bdict["waves"], jnp.asarray(starts) * 600, clip_len * 600)
+        s_dur_clip = models.predictor_encoder.apply(
+            {"params": p["predictor_encoder"], **extras.get("predictor_encoder", {})}, gt
+        )
+        s_clip = models.style_encoder.apply(
+            {"params": p["style_encoder"], **extras.get("style_encoder", {})}, gt
+        )
+        F0_real, _, _ = models.pitch_extractor.apply(
+            {"params": p["pitch_extractor"], **extras.get("pitch_extractor", {})}, gt
+        )
+        F0_fake, N_fake = models.predictor.apply(
+            {"params": p["predictor"]}, p_en, s_dur_clip, method="F0Ntrain"
+        )
+        y_rec = models.decoder.apply(
+            {"params": p["decoder"]}, en, F0_fake, N_fake, s_clip,
+            rngs={"noise": key},
+        )
+        dur_pred_sum = jax.nn.sigmoid(dur_logits).sum(-1)
+        return {
+            "mel": float(L.multires_stft_loss(y_rec, wav_clip)),
+            "dur": float(L.duration_l1_loss(dur_pred_sum, d_gt, bdict["input_lengths"])),
+            "F0": float(L.smooth_l1(F0_real, F0_fake) / 10.0),
+        }
+
+    # ------------------------------------------------------------------
     def train_step(self, batch: Batch, epoch: int, iters: int,
                    rng: np.random.Generator) -> Optional[Dict[str, float]]:
         cfg = self.cfg
