@@ -23,6 +23,9 @@ def make_setup():
     cfg.max_len = 80
     cfg.slmadv_params.min_len = 80
     cfg.slmadv_params.max_len = 120
+    # tiny WavLM: keep the wd head dims consistent (hidden*nlayers)
+    cfg.model_params.slm.hidden = 64
+    cfg.model_params.slm.nlayers = 3
     models = build_training_models(cfg)
     models = dataclasses.replace(
         models, wavlm=WavLM(hidden=64, heads=2, intermediate=96, num_layers=2)
