@@ -181,7 +181,19 @@ def init_training_params(
 
 
 def init_params(models: Models, key: jax.Array, cfg: Config) -> Dict[str, Any]:
-    """Initialize every module's variables with tiny dummy shapes."""
+    """Initialize every module's variables with tiny dummy shapes.
+
+    Init runs on the host CPU backend (compiling 8 init programs on a TPU
+    tunnel costs minutes; the params transfer to the accelerator lazily on
+    first use)."""
+    cpus = jax.devices("cpu")
+    if cpus and jax.default_backend() != "cpu":
+        with jax.default_device(cpus[0]):
+            return _init_params_impl(models, key, cfg)
+    return _init_params_impl(models, key, cfg)
+
+
+def _init_params_impl(models: Models, key: jax.Array, cfg: Config) -> Dict[str, Any]:
     mp = cfg.model_params
     ks = jax.random.split(key, 8)
     B, T_text, T_en = 1, 8, 16

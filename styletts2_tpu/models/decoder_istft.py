@@ -139,16 +139,15 @@ class AdaINResBlock1(nn.Module):
         from styletts2_tpu.ops.pallas_kernels import adain_snake
 
         C = self.channels
-        use_pallas = jax.default_backend() == "tpu"
         for j, d in enumerate(self.dilations):
             a1 = self.param(f"alpha1_{j}", nn.initializers.ones, (1, 1, C))
             a2 = self.param(f"alpha2_{j}", nn.initializers.ones, (1, 1, C))
             g1, b1 = _StyleAffine(C, name=f"adain1_{j}")(s)
-            h = adain_snake(x, g1, b1, a1.reshape(-1), use_pallas=use_pallas)
+            h = adain_snake(x, g1, b1, a1.reshape(-1))
             pad = (self.kernel_size - 1) * d // 2
             h = WNConv1d(C, self.kernel_size, padding=pad, dilation=d, name=f"conv1_{j}")(h)
             g2, b2 = _StyleAffine(C, name=f"adain2_{j}")(s)
-            h = adain_snake(h, g2, b2, a2.reshape(-1), use_pallas=use_pallas)
+            h = adain_snake(h, g2, b2, a2.reshape(-1))
             pad1 = (self.kernel_size - 1) // 2
             h = WNConv1d(C, self.kernel_size, padding=pad1, name=f"conv2_{j}")(h)
             x = x + h

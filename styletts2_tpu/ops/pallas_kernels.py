@@ -120,7 +120,9 @@ _adain_snake_pallas.defvjp(_fwd, _bwd)
 def adain_snake(x, gamma, beta, alpha, use_pallas: bool | None = None):
     """Dispatch: Pallas (custom-VJP) on TPU, jnp composition elsewhere."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        dd = jax.config.jax_default_device
+        forced_cpu = dd is not None and getattr(dd, "platform", None) == "cpu"
+        use_pallas = jax.default_backend() == "tpu" and not forced_cpu
     if use_pallas:
         return _adain_snake_pallas(x, gamma, beta, alpha)
     return _adain_snake_ref(x, gamma, beta, jnp.broadcast_to(alpha.reshape(1, 1, -1), (1, 1, x.shape[-1])))
