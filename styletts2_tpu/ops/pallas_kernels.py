@@ -31,18 +31,16 @@ def _adain_snake_ref(x, gamma, beta, alpha, eps=1e-5):
     return snake(y, alpha)
 
 
-def _kernel(x_ref, gamma_ref, beta_ref, alpha_ref, out_ref):
-    # block: (1, T, Ct) — full time axis per (batch, channel-tile) program
-    x = x_ref[0]  # (T, Ct)
-    T = x.shape[0]
-    mean = jnp.mean(x, axis=0, keepdims=True)
-    xc = x - mean
-    var = jnp.mean(xc * xc, axis=0, keepdims=True)
-    xhat = xc * jax.lax.rsqrt(var + 1e-5)
+def _kernel(x_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, alpha_ref, out_ref):
+    # block: (1, Tt, Ct) — time-tiled so arbitrarily long sequences fit VMEM;
+    # the per-(b, c) instance-norm stats arrive precomputed
+    x = x_ref[0]  # (Tt, Ct)
+    mean = mean_ref[0][None, :]
+    rstd = rstd_ref[0][None, :]
     g = gamma_ref[0][None, :]
     b = beta_ref[0][None, :]
     a = alpha_ref[0][None, :]
-    y = (1.0 + g) * xhat + b
+    y = (1.0 + g) * ((x - mean) * rstd) + b
     s = jnp.sin(a * y)
     out_ref[0] = y + (s * s) / a
 
@@ -52,27 +50,40 @@ def fused_adain_snake(x, gamma, beta, alpha, interpret: bool = False):
     """x: (B, T, C); gamma/beta: (B, C) style affine; alpha: (C,) snake.
 
     Equivalent to `snake(AdaIN(x, s), alpha)` with the AdaIN fc already
-    applied (gamma/beta precomputed)."""
+    applied. The time-axis mean/rstd are one cheap XLA reduction; the fused
+    normalize→affine→snake chain then runs in a single tiled VMEM pass."""
     B, T, C = x.shape
     CT = min(C, 128)
-    if C % CT != 0:
+    # largest divisor of T ≤ 2048 keeps blocks ≲ 1 MB; odd/prime lengths
+    # (e.g. the reflection-padded 120F+1 stage) fall back to the jnp chain
+    TT = 1
+    for d in range(min(T, 2048), 0, -1):
+        if T % d == 0:
+            TT = d
+            break
+    if C % CT != 0 or TT < 64:
         return _adain_snake_ref(x, gamma, beta, jnp.broadcast_to(alpha, (1, 1, C)))
-    grid = (B, C // CT)
+    mean = jnp.mean(x, axis=1)  # (B, C)
+    var = jnp.mean(jnp.square(x), axis=1) - mean * mean
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    grid = (B, T // TT, C // CT)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, T, CT), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CT), lambda b, c: (b, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CT), lambda b, c: (b, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CT), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, CT), lambda b, t, c: (b, t, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CT), lambda b, t, c: (b, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CT), lambda b, t, c: (b, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CT), lambda b, t, c: (b, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CT), lambda b, t, c: (b, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CT), lambda b, t, c: (0, c), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, T, CT), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM
+            (1, TT, CT), lambda b, t, c: (b, t, c), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
         interpret=interpret,
-    )(x, gamma, beta, jnp.broadcast_to(alpha.reshape(1, -1), (1, C)))
+    )(x, mean, rstd, gamma, beta, jnp.broadcast_to(alpha.reshape(1, -1), (1, C)))
 
 
 @jax.custom_vjp
