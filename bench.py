@@ -3,17 +3,18 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is RTF / 20 — the fraction of the ≥20× real-time per-chip
 north-star target (BASELINE.json); >1.0 beats the target.
-Runs on whatever jax.default_backend() provides (TPU under axon).
+
+Measures the fused single-dispatch serving path (one jit graph per
+utterance, static frame budget) on jax.default_backend().
 """
 
 import json
-import sys
 import time
-
-import numpy as np
 
 
 def main():
+    import numpy as np
+
     import jax
 
     from styletts2_tpu.config import Config
@@ -28,12 +29,19 @@ def main():
     )
     steps = 5
 
-    # warm-up / compile (phase A + phase B for these buckets)
+    # probe realized duration once (two-phase path), pick a tight budget
     wav, _ = syn.inference(text, diffusion_steps=steps, seed=0)
+    frames = len(wav) // 600 + 1
+    budget = ((frames + 99) // 100) * 100
+
+    # warm-up/compile the fused graph, then measure
+    wav = syn.inference_fused(text, frame_budget=budget, diffusion_steps=steps, seed=0)
     n_runs = 5
     t0 = time.perf_counter()
-    for i in range(n_runs):
-        wav, _ = syn.inference(text, diffusion_steps=steps, seed=0)
+    for _ in range(n_runs):
+        wav = syn.inference_fused(
+            text, frame_budget=budget, diffusion_steps=steps, seed=0
+        )
     dt = (time.perf_counter() - t0) / n_runs
     audio_sec = len(wav) / 24000.0
     rtf = audio_sec / dt
@@ -41,7 +49,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"single-stream synthesis RTF (audio-sec/wall-sec), LJSpeech iSTFTNet, {steps} diffusion steps, {jax.default_backend()}",
+                "metric": f"single-stream synthesis RTF (audio-sec/wall-sec), LJSpeech iSTFTNet, {steps} diffusion steps, fused graph, {jax.default_backend()}",
                 "value": round(rtf, 3),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 20.0, 4),

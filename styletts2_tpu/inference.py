@@ -227,6 +227,108 @@ class Synthesizer:
             wav = wav[:-trim_samples]
         return wav, np.asarray(s_out)
 
+    def _make_fused(self, diffusion_steps: int, embedding_scale: float, frame_budget: int):
+        """Whole-pipeline single graph: text → diffusion → duration →
+        alignment (fixed frame budget) → F0/N → decoder. One device
+        round-trip per utterance — the serving configuration."""
+        models = self.models
+        multispeaker = self.multispeaker
+        hifigan = self.hifigan
+        sd = self.style_dim
+
+        def fused(params, tokens, lengths, noise, key, ref_s, alpha, beta):
+            B, T = tokens.shape
+            valid = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.int32)
+            t_en = models.text_encoder.apply(params["text_encoder"], tokens, lengths)
+            bert_dur = models.bert.apply(params["bert"], tokens, valid)
+            d_en = models.bert_encoder.apply(params["bert_encoder"], bert_dur)
+
+            def net_apply(x, c_noise, **kw):
+                return models.diffusion.apply(
+                    params["diffusion"], x, c_noise, bert_dur,
+                    features=ref_s if multispeaker else None,
+                    embedding_scale=embedding_scale,
+                )
+
+            denoise = make_denoise_fn(net_apply, self.sigma_data)
+            k_samp, k_dec = jax.random.split(key)
+            s_pred = sample_adpm2(denoise, noise, k_samp, num_steps=diffusion_steps)[:, 0, :]
+            s = s_pred[:, sd:]
+            ref = s_pred[:, :sd]
+            if multispeaker:
+                ref = alpha * ref + (1.0 - alpha) * ref_s[:, :sd]
+                s = beta * s + (1.0 - beta) * ref_s[:, sd:]
+
+            d = models.predictor.apply(
+                params["predictor"], d_en, s, lengths, method="encode_texts"
+            )
+            dur_logits = models.predictor.apply(
+                params["predictor"], d, lengths, method="duration"
+            )
+            duration = jax.nn.sigmoid(dur_logits).sum(axis=-1)
+            pred_dur = jnp.maximum(jnp.round(duration), 1.0)
+            pred_dur = jnp.where(
+                jnp.arange(T)[None, :] < lengths[:, None], pred_dur, 0.0
+            ).astype(jnp.int32)
+            aln = duration_to_alignment(pred_dur, frame_budget)
+            en = jnp.einsum("btc,btf->bfc", d, aln)
+            if hifigan:
+                en = jnp.concatenate([en[:, :1], en[:, :-1]], axis=1)
+            F0_pred, N_pred = models.predictor.apply(
+                params["predictor"], en, s, method="F0Ntrain"
+            )
+            asr = jnp.einsum("btc,btf->bfc", t_en, aln)
+            if hifigan:
+                asr = jnp.concatenate([asr[:, :1], asr[:, :-1]], axis=1)
+            wav = models.decoder.apply(
+                params["decoder"], asr, F0_pred, N_pred, ref, rngs={"noise": k_dec}
+            )
+            total = jnp.minimum(pred_dur.sum(axis=1), frame_budget)
+            return wav, total
+
+        return jax.jit(fused)
+
+    def inference_fused(
+        self,
+        text: str,
+        frame_budget: int = 600,
+        ref_s: Optional[np.ndarray] = None,
+        alpha: float = 0.3,
+        beta: float = 0.7,
+        diffusion_steps: int = 5,
+        embedding_scale: float = 1.0,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Single-dispatch synthesis with a static frame budget (≈7.5ms of
+        audio per frame at 24 kHz); the wav is trimmed host-side to the
+        realized duration. The low-latency serving path."""
+        tokens_np = encode_text(text)
+        L = len(tokens_np)
+        T = _bucket(L, self.text_bucket, self.text_bucket)
+        tokens = np.zeros((1, T), np.int32)
+        tokens[0, :L] = tokens_np
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(jax.random.PRNGKey(seed + 1), (1, 1, 2 * self.style_dim))
+        ref_arr = (
+            jnp.asarray(ref_s, jnp.float32)
+            if ref_s is not None
+            else jnp.zeros((1, 2 * self.style_dim), jnp.float32)
+        )
+        ck = (diffusion_steps, float(embedding_scale), frame_budget, T)
+        if not hasattr(self, "_fused"):
+            self._fused = {}
+        if ck not in self._fused:
+            self._fused[ck] = self._make_fused(
+                diffusion_steps, float(embedding_scale), frame_budget
+            )
+        wav, total = self._fused[ck](
+            self.params, jnp.asarray(tokens), jnp.asarray([L], np.int32), noise,
+            key, ref_arr, alpha, beta,
+        )
+        wav = np.asarray(wav)
+        n = int(np.asarray(total)[0]) * 600
+        return wav[0, :n]
+
     def inference_batch(
         self,
         texts,

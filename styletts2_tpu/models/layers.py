@@ -345,7 +345,7 @@ def avg_pool_2d_2x(x):
 class _LSTMDirection(nn.Module):
     hidden: int
     reverse: bool = False
-    unroll: int = 8
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, lengths):
@@ -391,10 +391,12 @@ class _LSTMDirection(nn.Module):
 
 class BiLSTM(nn.Module):
     """Bidirectional single-layer LSTM, output (B, T, 2H), masked to 0 at
-    padded positions; exact pack/pad parity with the reference's five BiLSTMs."""
+    padded positions; exact pack/pad parity with the reference's five BiLSTMs.
+    unroll=1: on tunneled backends per-call dispatch scales with program
+    size, so smaller graphs beat unrolled scans."""
 
     hidden: int
-    unroll: int = 8
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, lengths):
