@@ -29,19 +29,12 @@ def main():
     )
     steps = 5
 
-    # probe realized duration once (two-phase path), pick a tight budget
-    wav, _ = syn.inference(text, diffusion_steps=steps, seed=0)
-    frames = len(wav) // 600 + 1
-    budget = ((frames + 99) // 100) * 100
-
-    # warm-up/compile the fused graph, then measure
-    wav = syn.inference_fused(text, frame_budget=budget, diffusion_steps=steps, seed=0)
+    # warm-up/compile the staged pipeline, then measure
+    wav, _ = syn.inference(text, diffusion_steps=steps, seed=0, pcm16=True)
     n_runs = 5
     t0 = time.perf_counter()
     for _ in range(n_runs):
-        wav = syn.inference_fused(
-            text, frame_budget=budget, diffusion_steps=steps, seed=0
-        )
+        wav, _ = syn.inference(text, diffusion_steps=steps, seed=0, pcm16=True)
     dt = (time.perf_counter() - t0) / n_runs
     audio_sec = len(wav) / 24000.0
     rtf = audio_sec / dt
@@ -49,7 +42,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"single-stream synthesis RTF (audio-sec/wall-sec), LJSpeech iSTFTNet, {steps} diffusion steps, fused graph, {jax.default_backend()}",
+                "metric": f"single-stream synthesis RTF (audio-sec/wall-sec), LJSpeech iSTFTNet, {steps} diffusion steps, staged pipeline, {jax.default_backend()}",
                 "value": round(rtf, 3),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 20.0, 4),

@@ -59,14 +59,93 @@ class Synthesizer:
         self.frame_bucket = frame_bucket
         if params is None:
             params = init_params(self.models, jax.random.PRNGKey(seed), cfg)
+        # park weights on the accelerator once — params initialized on the
+        # host CPU would otherwise re-transfer through the device tunnel on
+        # EVERY stage call (catastrophic on remote/tunneled backends)
+        if jax.default_backend() != "cpu":
+            params = jax.device_put(params, jax.devices()[0])
+            params = jax.block_until_ready(params)
         self.params = params
         self._phase_a = {}
         self._phase_b = {}
 
     # ------------------------------------------------------------------
-    # phase A: text -> (t_en, d, s, ref, pred_dur)
+    # staged pipeline: several medium-size jits chained on-device.
+    # On tunneled runtimes (axon) per-call cost grows with executable size,
+    # so a chain of component programs beats one fused graph by ~10x; the
+    # only host syncs are the duration fetch and the final wav.
     # ------------------------------------------------------------------
 
+    def _stages(self):
+        if hasattr(self, "_stage_fns"):
+            return self._stage_fns
+        models = self.models
+        multispeaker = self.multispeaker
+
+        @jax.jit
+        def stage_text(params, tokens, lengths):
+            T = tokens.shape[1]
+            valid = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.int32)
+            t_en = models.text_encoder.apply(params["text_encoder"], tokens, lengths)
+            bert_dur = models.bert.apply(params["bert"], tokens, valid)
+            d_en = models.bert_encoder.apply(params["bert_encoder"], bert_dur)
+            return t_en, bert_dur, d_en
+
+        @jax.jit
+        def stage_duration(params, d_en, s, lengths):
+            T = d_en.shape[1]
+            d = models.predictor.apply(
+                params["predictor"], d_en, s, lengths, method="encode_texts"
+            )
+            dur_logits = models.predictor.apply(
+                params["predictor"], d, lengths, method="duration"
+            )
+            duration = jax.nn.sigmoid(dur_logits).sum(axis=-1)
+            pred_dur = jnp.maximum(jnp.round(duration), 1.0)
+            pred_dur = jnp.where(
+                jnp.arange(T)[None, :] < lengths[:, None], pred_dur, 0.0
+            ).astype(jnp.int32)
+            return d, pred_dur
+
+        self._stage_fns = (stage_text, stage_duration)
+        return self._stage_fns
+
+    def _make_stage_style(self, diffusion_steps: int, embedding_scale: float):
+        models = self.models
+        multispeaker = self.multispeaker
+        sd = self.style_dim
+
+        def stage_style(params, bert_dur, noise, key, ref_s, alpha, beta, s_prev, s_prev_w):
+            def net_apply(x, c_noise, **kw):
+                return models.diffusion.apply(
+                    params["diffusion"], x, c_noise, bert_dur,
+                    features=ref_s if multispeaker else None,
+                    embedding_scale=embedding_scale,
+                )
+
+            denoise = make_denoise_fn(net_apply, self.sigma_data)
+            s_pred = sample_adpm2(
+                denoise, noise, key, num_steps=diffusion_steps
+            )[:, 0, :]
+            s_pred = s_prev_w * s_prev + (1.0 - s_prev_w) * s_pred
+            s = s_pred[:, sd:]
+            ref = s_pred[:, :sd]
+            if multispeaker:
+                ref = alpha * ref + (1.0 - alpha) * ref_s[:, :sd]
+                s = beta * s + (1.0 - beta) * ref_s[:, sd:]
+            return s, ref, jnp.concatenate([ref, s], axis=-1)
+
+        return jax.jit(stage_style)
+
+    def _get_stage_style(self, steps, scale):
+        if not hasattr(self, "_style_fns"):
+            self._style_fns = {}
+        k = (steps, float(scale))
+        if k not in self._style_fns:
+            self._style_fns[k] = self._make_stage_style(steps, float(scale))
+        return self._style_fns[k]
+
+    # legacy fused phase A (kept for fused/batched paths)
     def _make_phase_a(self, diffusion_steps: int, embedding_scale: float):
         models = self.models
         multispeaker = self.multispeaker
@@ -121,10 +200,13 @@ class Synthesizer:
     # ------------------------------------------------------------------
 
     def _make_phase_b(self, n_frames: int):
+        """Acoustic stage as TWO chained jits (prosody, then decoder) —
+        smaller executables load dramatically faster on tunneled runtimes."""
         models = self.models
         hifigan = self.hifigan
 
-        def phase_b(params, t_en, d, s, ref, pred_dur, key):
+        @jax.jit
+        def stage_prosody(params, t_en, d, s, pred_dur):
             aln = duration_to_alignment(pred_dur, n_frames)  # (B, T, F)
             en = jnp.einsum("btc,btf->bfc", d, aln)
             if hifigan:
@@ -135,12 +217,28 @@ class Synthesizer:
             asr = jnp.einsum("btc,btf->bfc", t_en, aln)
             if hifigan:
                 asr = jnp.concatenate([asr[:, :1], asr[:, :-1]], axis=1)
+            return asr, F0_pred, N_pred
+
+        @jax.jit
+        def stage_decode(params, asr, F0_pred, N_pred, ref, key):
+            return models.decoder.apply(
+                params["decoder"], asr, F0_pred, N_pred, ref, rngs={"noise": key}
+            )
+
+        @jax.jit
+        def stage_decode_pcm16(params, asr, F0_pred, N_pred, ref, key):
             wav = models.decoder.apply(
                 params["decoder"], asr, F0_pred, N_pred, ref, rngs={"noise": key}
             )
-            return wav
+            # 16-bit PCM halves the host-transfer volume (the serving format)
+            return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
-        return jax.jit(phase_b)
+        def phase_b(params, t_en, d, s, ref, pred_dur, key, pcm16=False):
+            asr, F0_pred, N_pred = stage_prosody(params, t_en, d, s, pred_dur)
+            fn = stage_decode_pcm16 if pcm16 else stage_decode
+            return fn(params, asr, F0_pred, N_pred, ref, key)
+
+        return phase_b
 
     def _get_phase_a(self, steps, scale):
         k = (steps, float(scale))
@@ -179,6 +277,7 @@ class Synthesizer:
         s_prev_weight: float = 0.0,
         pad_last_token: bool = None,
         trim_samples: int = None,
+        pcm16: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Synthesize one utterance from pre-phonemized IPA text.
 
@@ -209,11 +308,16 @@ class Synthesizer:
             s_prev = jnp.zeros((1, 2 * self.style_dim), jnp.float32)
             s_prev_weight = 0.0
 
-        pa = self._get_phase_a(diffusion_steps, embedding_scale)
-        t_en, d, s, ref, s_out, pred_dur = pa(
-            self.params, jnp.asarray(tokens), jnp.asarray(lengths), noise, k_samp,
-            ref_s, alpha, beta, jnp.asarray(s_prev), float(s_prev_weight),
+        stage_text, stage_duration = self._stages()
+        stage_style = self._get_stage_style(diffusion_steps, embedding_scale)
+        t_en, bert_dur, d_en = stage_text(
+            self.params, jnp.asarray(tokens), jnp.asarray(lengths)
         )
+        s, ref, s_out = stage_style(
+            self.params, bert_dur, noise, k_samp, ref_s, alpha, beta,
+            jnp.asarray(s_prev), float(s_prev_weight),
+        )
+        d, pred_dur = stage_duration(self.params, d_en, s, jnp.asarray(lengths))
         pred_dur = np.array(pred_dur)  # writable host copy
         if pad_last_token:
             pred_dur[0, L - 1] += 5
@@ -221,8 +325,11 @@ class Synthesizer:
         F = _bucket(total, self.frame_bucket, self.frame_bucket)
 
         pb = self._get_phase_b(F)
-        wav = pb(self.params, t_en, d, s, ref, jnp.asarray(pred_dur), k_dec)
+        wav = pb(self.params, t_en, d, s, ref, jnp.asarray(pred_dur), k_dec,
+                 pcm16=pcm16)
         wav = np.asarray(wav)[0, : total * 600]
+        if pcm16:
+            wav = wav.astype(np.float32) / 32767.0
         if trim_samples:
             wav = wav[:-trim_samples]
         return wav, np.asarray(s_out)
