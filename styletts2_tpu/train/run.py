@@ -84,6 +84,45 @@ def setup(config_path: str, stage: str):
             except Exception as e:  # pragma: no cover
                 logger.warning(f"could not load {key} from {path}: {e}")
 
+    # PL-BERT pretrained checkpoint (Utils/PLBERT/step_*.t7, util.py:15-42)
+    if cfg.PLBERT_dir and os.path.isdir(cfg.PLBERT_dir):
+        try:
+            import torch
+
+            ckpts = sorted(
+                f for f in os.listdir(cfg.PLBERT_dir) if f.startswith("step_")
+            )
+            if ckpts:
+                sd = torch.load(
+                    os.path.join(cfg.PLBERT_dir, ckpts[-1]), map_location="cpu"
+                )["net"]
+                sd = {
+                    k[7:]: v for k, v in sd.items() if k.startswith("module.")
+                }
+                sd = {
+                    (k[8:] if k.startswith("encoder.") else k): v.numpy()
+                    for k, v in sd.items()
+                }
+                variables["bert"] = convert.convert_albert(sd)
+                logger.info(f"loaded PL-BERT from {ckpts[-1]}")
+        except Exception as e:  # pragma: no cover
+            logger.warning(f"could not load PL-BERT: {e}")
+
+    # frozen WavLM (microsoft/wavlm-base-plus) for the SLM losses
+    try:
+        from transformers import WavLMModel
+
+        ref = WavLMModel.from_pretrained(cfg.model_params.slm.model)
+        variables["wavlm"] = convert.convert_wavlm(
+            {k: v.numpy() for k, v in ref.state_dict().items()}
+        )
+        logger.info("loaded WavLM weights")
+    except Exception as e:  # pragma: no cover
+        logger.warning(
+            f"WavLM weights unavailable ({type(e).__name__}); SLM losses use "
+            "random features"
+        )
+
     txs = build_module_optimizers(cfg, MODULE_KEYS, stage2=(stage != "first"))
     state = TrainState.create(variables, txs)
     state.sigma_data = cfg.model_params.diffusion.dist.sigma_data
