@@ -5,15 +5,14 @@ cells 5/16/42/45): `Synthesizer.inference(text, ...)`, `compute_style(wave)`,
 `LFinference(...)` with style carry-over, `STinference(...)`; plus batched
 length-masked synthesis, which the reference does not offer.
 
-TPU-native structure: the pipeline is split into two jitted phases with
-static shape buckets —
-  phase A (text bucket): text encoder + PL-BERT + style diffusion (lax.scan
-    ADPM2) + duration prediction → integer durations;
-  phase B (text×frame bucket): searchsorted-style hard alignment expansion
-    (no python loop; utils.duration_to_alignment), F0/N prediction, decoder.
-The host only chooses the frame bucket from the duration sum between phases.
-Each (text_bucket, frame_bucket, diffusion_steps, embedding_scale) tuple
-compiles once and is cached.
+TPU-native structure: the pipeline runs as a chain of medium-size jitted
+stages with static shape buckets — text+BERT encoding, style diffusion
+(lax.scan ADPM2, per steps/CFG-scale), duration, then per-frame-bucket
+prosody/alignment and decoder stages. Weights live on the accelerator; the
+only host syncs per utterance are the integer durations (frame-bucket
+choice) and the final PCM16 waveform. See docs/PERFORMANCE.md for why this
+layout wins on tunneled TPU runtimes (101× real time single-stream).
+`inference_fused` offers the single-dispatch whole-graph alternative.
 """
 
 from __future__ import annotations

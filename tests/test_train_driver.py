@@ -1,0 +1,112 @@
+"""End-to-end training-driver integration: synthesize a tiny on-disk dataset
+(wav files + pipe-delimited lists), run one stage-1 step through the CLI
+driver path, checkpoint, and reload."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from styletts2_tpu.data.meldataset import build_dataloader, load_data_list
+from styletts2_tpu.utils import write_wav
+
+
+def make_dataset(root, n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    lines = []
+    for i in range(n):
+        dur = rng.integers(26000, 40000)
+        wav = (rng.standard_normal(dur) * 0.1).astype(np.float32)
+        name = f"utt{i}.wav"
+        write_wav(os.path.join(root, name), wav, 24000)
+        text = "ðɪs ɪz tˈɛst " + "ab " * int(rng.integers(2, 6))
+        lines.append(f"{name}|{text.strip()}|0")
+    return lines
+
+
+def test_dataloader_buckets_and_collate(tmp_path):
+    root = str(tmp_path / "wavs")
+    lines = make_dataset(root)
+    train = tmp_path / "train.txt"
+    train.write_text("\n".join(lines), encoding="utf-8")
+    ood = tmp_path / "ood.txt"
+    ood.write_text("\n".join("ðɪs ɪz ɐn ˈaʊt ɒv dˈeɪtə tˈɛkst lˈaɪn." for _ in range(4)), encoding="utf-8")
+
+    dl = build_dataloader(str(train), root, ood_path=str(ood), min_length=10,
+                          batch_size=3, validation=False)
+    batches = list(dl)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.tokens.shape[0] == 3
+    assert b.tokens.shape[1] % 32 == 0
+    assert b.waves.shape[1] % 48000 == 0
+    assert (b.mel_lengths % 2 == 0).all()
+    assert (b.ref_lengths > 2).all()  # OOD texts loaded
+    # lengths consistent with wave content
+    for i in range(3):
+        assert b.wave_lengths[i] <= b.waves.shape[1]
+        assert abs(int(b.mel_lengths[i]) - int(b.wave_lengths[i]) // 300) <= 2
+
+
+@pytest.mark.slow
+def test_stage1_driver_one_step(tmp_path):
+    root = str(tmp_path / "wavs")
+    lines = make_dataset(root, n=4)
+    (tmp_path / "train.txt").write_text("\n".join(lines), encoding="utf-8")
+    (tmp_path / "val.txt").write_text("\n".join(lines[:2]), encoding="utf-8")
+    (tmp_path / "ood.txt").write_text(
+        "\n".join("ðɪs ɪz ɐn ˈaʊt ɒv dˈeɪtə tˈɛkst lˈaɪn." for _ in range(4)),
+        encoding="utf-8",
+    )
+    cfg = {
+        "log_dir": str(tmp_path / "logs"),
+        "epochs_1st": 1,
+        "batch_size": 2,
+        "max_len": 80,
+        "save_freq": 1,
+        "log_interval": 1,
+        "F0_path": "", "ASR_path": "", "PLBERT_dir": "",
+        "data_params": {
+            "train_data": str(tmp_path / "train.txt"),
+            "val_data": str(tmp_path / "val.txt"),
+            "root_path": root,
+            "OOD_data": str(tmp_path / "ood.txt"),
+            "min_length": 10,
+        },
+        "plbert_params": {"num_hidden_layers": 1},
+        "model_params": {
+            "diffusion": {"transformer": {"num_layers": 1}},
+            "slm": {"hidden": 64, "nlayers": 3},
+        },
+        "loss_params": {"TMA_epoch": 100},
+    }
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg), encoding="utf-8")
+
+    import dataclasses
+
+    import styletts2_tpu.train.run as R
+    from styletts2_tpu.models.wavlm import WavLM
+
+    # shrink the frozen WavLM for test speed (wd dims set via config above)
+    orig_build = R.build_training_models
+
+    def small_build(c):
+        m = orig_build(c)
+        return dataclasses.replace(
+            m, wavlm=WavLM(hidden=64, heads=2, intermediate=96, num_layers=2)
+        )
+
+    R.build_training_models = small_build
+    try:
+        state = R.run_stage("first", str(cfg_path), max_steps=1)
+    finally:
+        R.build_training_models = orig_build
+    assert state.step >= 1
+    log_dir = str(tmp_path / "logs")
+    assert os.path.exists(os.path.join(log_dir, "first_stage.pth")) or any(
+        f.endswith(".ckpt") for f in os.listdir(log_dir)
+    )
+    assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
