@@ -1,0 +1,62 @@
+"""Checkpoint save/load round trip + stage-handoff filter semantics."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from styletts2_tpu.train.state import (
+    TrainState,
+    apply_module_updates,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def make_state():
+    variables = {
+        "decoder": {"params": {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}},
+        "predictor": {"params": {"w": jnp.full((3,), 2.0)},
+                      "spectral": {"u": jnp.ones(3)}},
+    }
+    txs = {k: optax.adamw(1e-3) for k in variables}
+    return TrainState.create(variables, txs)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    st = make_state()
+    st.step, st.epoch, st.sigma_data = 7, 3, 0.33
+    p = str(tmp_path / "ck.ckpt")
+    save_checkpoint(p, st)
+
+    st2 = make_state()
+    st2 = load_checkpoint(p, st2, load_only_params=False)
+    assert st2.step == 7 and st2.epoch == 3 and abs(st2.sigma_data - 0.33) < 1e-9
+    np.testing.assert_allclose(np.asarray(st2.params["predictor"]["w"]), 2.0)
+    np.testing.assert_allclose(np.asarray(st2.extras["predictor"]["spectral"]["u"]), 1.0)
+
+
+def test_checkpoint_ignore_modules(tmp_path):
+    st = make_state()
+    st.params["decoder"]["w"] = jnp.full((4, 4), 9.0)
+    p = str(tmp_path / "ck.ckpt")
+    save_checkpoint(p, st)
+    st2 = make_state()
+    st2 = load_checkpoint(p, st2, load_only_params=True, ignore_modules=("decoder",))
+    # decoder skipped, predictor loaded
+    np.testing.assert_allclose(np.asarray(st2.params["decoder"]["w"]), 1.0)
+    assert st2.step == 0
+
+
+def test_selective_module_updates():
+    st = make_state()
+    grads = {
+        "decoder": jax.tree.map(jnp.ones_like, st.params["decoder"]),
+        "predictor": jax.tree.map(jnp.ones_like, st.params["predictor"]),
+    }
+    new_p, new_o = apply_module_updates(
+        st.params, st.opt_states, grads, st.txs, ("decoder",)
+    )
+    assert not np.allclose(np.asarray(new_p["decoder"]["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(new_p["predictor"]["w"]), 2.0)
