@@ -17,7 +17,6 @@ layout wins on tunneled TPU runtimes (101× real time single-stream).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -28,7 +27,7 @@ from styletts2_tpu.config import Config
 from styletts2_tpu.models.build import Models, build_models, init_params
 from styletts2_tpu.models.diffusion.sampler import make_denoise_fn, sample_adpm2
 from styletts2_tpu.ops.stft import preprocess_mel
-from styletts2_tpu.text import encode_text, pad_token_batch
+from styletts2_tpu.text import encode_text
 from styletts2_tpu.utils import duration_to_alignment
 
 

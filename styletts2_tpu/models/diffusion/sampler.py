@@ -15,7 +15,7 @@ one compiled program serves a fixed (num_steps, embedding_scale) pair.
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ five BiLSTMs noted in SURVEY.md §7.3.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ import argparse
 import copy
 import os
 import shutil
-import sys
-import time
 
 import jax
 import numpy as np

@@ -18,9 +18,7 @@ in the reference (train_first.py:259-264).
 
 from __future__ import annotations
 
-import functools
-import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
