@@ -32,13 +32,15 @@ def _adain_snake_ref(x, gamma, beta, alpha, eps=1e-5):
 
 
 def _kernel(x_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, alpha_ref, out_ref):
-    # block: (1, Tt, Ct) — time-tiled so arbitrarily long sequences fit VMEM;
-    # the per-(b, c) instance-norm stats arrive precomputed
+    # block: (1, Tt, Ct) — time-tiled so arbitrarily long sequences fit VMEM.
+    # The per-(b, c) stats arrive as full-batch (B, Ct) blocks (TPU requires
+    # sublane dims divisible by 8 or whole); select this program's row.
+    bi = pl.program_id(0)
     x = x_ref[0]  # (Tt, Ct)
-    mean = mean_ref[0][None, :]
-    rstd = rstd_ref[0][None, :]
-    g = gamma_ref[0][None, :]
-    b = beta_ref[0][None, :]
+    mean = mean_ref[bi][None, :]
+    rstd = rstd_ref[bi][None, :]
+    g = gamma_ref[bi][None, :]
+    b = beta_ref[bi][None, :]
     a = alpha_ref[0][None, :]
     y = (1.0 + g) * ((x - mean) * rstd) + b
     s = jnp.sin(a * y)
@@ -72,10 +74,10 @@ def fused_adain_snake(x, gamma, beta, alpha, interpret: bool = False):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TT, CT), lambda b, t, c: (b, t, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CT), lambda b, t, c: (b, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CT), lambda b, t, c: (b, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CT), lambda b, t, c: (b, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CT), lambda b, t, c: (b, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CT), lambda b, t, c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CT), lambda b, t, c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CT), lambda b, t, c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CT), lambda b, t, c: (0, c), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CT), lambda b, t, c: (0, c), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
