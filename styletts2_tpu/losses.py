@@ -67,14 +67,29 @@ def lsgan_g_loss(gen_outputs) -> jnp.ndarray:
     return loss
 
 
-def tprls_loss(real_outputs, gen_outputs, tau: float = 0.04) -> jnp.ndarray:
+def _lower_median(x: jnp.ndarray) -> jnp.ndarray:
+    """torch.median semantics: the LOWER of the two middle elements for
+    even-sized inputs (jnp.median averages them — a real numerical
+    difference since the TPRLS mask compares against the median)."""
+    flat = jnp.sort(x.ravel())
+    return flat[(flat.shape[0] - 1) // 2]
+
+
+def tprls_loss(first_outputs, second_outputs, tau: float = 0.04) -> jnp.ndarray:
     """Truncated pointwise relativistic LS loss (losses.py:131-147).
-    Same formula serves D and G (the reference swaps argument names only)."""
+
+    diff = first − second; m = median(diff); L_rel = mean over the
+    diff < m tail of (diff − m)². NOT sign-symmetric: the discriminator
+    calls this with (real, gen) (reference discriminator_TPRLS_loss binds
+    dr=real, dg=gen → diff = real−gen), while the GENERATOR binds the zip
+    the other way round (generator_TPRLS_loss: `for dg, dr in zip(real,
+    gen)` → diff = gen−real), so generator_adv_loss below passes
+    (gen, real)."""
     loss = 0.0
-    for dr, dg in zip(real_outputs, gen_outputs):
-        diff = dr - dg
-        m = jnp.median(diff)
-        mask = (diff < m).astype(diff.dtype)  # dr < dg + m
+    for da, db in zip(first_outputs, second_outputs):
+        diff = da - db
+        m = _lower_median(diff)
+        mask = (diff < m).astype(diff.dtype)
         cnt = jnp.maximum(jnp.sum(mask), 1.0)
         l_rel = jnp.sum(((diff - m) ** 2) * mask) / cnt
         loss = loss + tau - jax.nn.relu(tau - l_rel)
@@ -91,8 +106,8 @@ def generator_adv_loss(mpd_out, msd_out) -> jnp.ndarray:
         + lsgan_g_loss(y_ds_g)
         + feature_loss(fmap_f_r, fmap_f_g)
         + feature_loss(fmap_s_r, fmap_s_g)
-        + tprls_loss(y_df_r, y_df_g)
-        + tprls_loss(y_ds_r, y_ds_g)
+        + tprls_loss(y_df_g, y_df_r)
+        + tprls_loss(y_ds_g, y_ds_r)
     )
     return loss
 

@@ -27,6 +27,57 @@ def test_tprls_matches_torch(rng):
     np.testing.assert_allclose(ours, want, atol=1e-5)
 
 
+def test_adv_aggregates_match_reference(rng):
+    """All four G/D LSGAN+FM+TPRLS aggregates vs the actual reference
+    losses.py (loaded from /root/reference). In particular the generator
+    TPRLS binds diff = gen − real (generator_TPRLS_loss zips
+    `for dg, dr in zip(real, gen)`, losses.py:140-147) — the formula is not
+    sign-symmetric, so this fails if the arguments are swapped."""
+    from ref_compat import load_ref_module
+
+    ref = load_ref_module("ref_losses", "losses.py")
+
+    def rand_outs(shapes):
+        return [rng.standard_normal(s).astype(np.float32) * 0.5 for s in shapes]
+
+    mpd_shapes = [(2, 11), (2, 13), (2, 17), (2, 23), (2, 9)]
+    msd_shapes = [(2, 21), (2, 15), (2, 19)]
+    y_df_r, y_df_g = rand_outs(mpd_shapes), rand_outs(mpd_shapes)
+    y_ds_r, y_ds_g = rand_outs(msd_shapes), rand_outs(msd_shapes)
+    fmap_f_r = [rand_outs([(2, 4, 6)] * 3) for _ in mpd_shapes]
+    fmap_f_g = [rand_outs([(2, 4, 6)] * 3) for _ in mpd_shapes]
+    fmap_s_r = [rand_outs([(2, 5, 7)] * 3) for _ in msd_shapes]
+    fmap_s_g = [rand_outs([(2, 5, 7)] * 3) for _ in msd_shapes]
+
+    tt = torch.from_numpy
+    t_list = lambda xs: [tt(x) for x in xs]
+    t_nest = lambda xss: [[tt(x) for x in xs] for xs in xss]
+
+    want_g = float(
+        ref.generator_loss(t_list(y_df_g))[0]
+        + ref.generator_loss(t_list(y_ds_g))[0]
+        + ref.feature_loss(t_nest(fmap_f_r), t_nest(fmap_f_g))
+        + ref.feature_loss(t_nest(fmap_s_r), t_nest(fmap_s_g))
+        + ref.generator_TPRLS_loss(t_list(y_df_r), t_list(y_df_g))
+        + ref.generator_TPRLS_loss(t_list(y_ds_r), t_list(y_ds_g))
+    )
+    want_d = float(
+        ref.discriminator_loss(t_list(y_df_r), t_list(y_df_g))[0]
+        + ref.discriminator_loss(t_list(y_ds_r), t_list(y_ds_g))[0]
+        + ref.discriminator_TPRLS_loss(t_list(y_df_r), t_list(y_df_g))
+        + ref.discriminator_TPRLS_loss(t_list(y_ds_r), t_list(y_ds_g))
+    )
+
+    j_list = lambda xs: [jnp.asarray(x) for x in xs]
+    j_nest = lambda xss: [[jnp.asarray(x) for x in xs] for xs in xss]
+    mpd_out = (j_list(y_df_r), j_list(y_df_g), j_nest(fmap_f_r), j_nest(fmap_f_g))
+    msd_out = (j_list(y_ds_r), j_list(y_ds_g), j_nest(fmap_s_r), j_nest(fmap_s_g))
+    got_g = float(L.generator_adv_loss(mpd_out, msd_out))
+    got_d = float(L.discriminator_adv_loss(mpd_out, msd_out))
+    np.testing.assert_allclose(got_g, want_g, atol=1e-5)
+    np.testing.assert_allclose(got_d, want_d, atol=1e-5)
+
+
 def test_lsgan_losses(rng):
     dr = [jnp.asarray(rng.standard_normal((2, 5)).astype(np.float32))]
     dg = [jnp.asarray(rng.standard_normal((2, 5)).astype(np.float32))]
