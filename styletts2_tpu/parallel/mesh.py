@@ -51,7 +51,10 @@ def param_pspec(path: str, x) -> P:
 
 
 def shard_params(params, mesh: Mesh):
-    """Place a param pytree on the mesh per param_pspec."""
+    """Place a param pytree on the mesh per param_pspec.
+
+    The rule is shape-based, so it applies unchanged to optimizer moments
+    (AdamW mu/nu mirror the param shapes; scalar counts replicate)."""
 
     def place(path, x):
         spec = param_pspec(jax.tree_util.keystr(path), x)
@@ -66,3 +69,24 @@ def shard_params(params, mesh: Mesh):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh in-place: params and optimizer moments
+    tensor-parallel per param_pspec, auxiliary collections (BN stats,
+    spectral-norm u vectors) replicated. This is the whole distribution
+    story for the trainers — batches arrive P('data')-sharded, XLA/GSPMD
+    inserts the psum grad reductions the reference needed DDP/DataParallel
+    for (train_first.py:49-50, train_second.py:35-40)."""
+    state.params = shard_params(state.params, mesh)
+    state.opt_states = shard_params(state.opt_states, mesh)
+    state.extras = jax.device_put(state.extras, replicated(mesh))
+    return state
+
+
+def place_batch(tree, mesh: Optional[Mesh]):
+    """Shard per-sample arrays over the 'data' axis (host numpy → device)."""
+    if mesh is None:
+        return tree
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

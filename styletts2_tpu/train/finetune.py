@@ -16,5 +16,6 @@ from styletts2_tpu.train.state import TrainState
 
 
 class FinetuneTrainer(Stage2Trainer):
-    def __init__(self, cfg: Config, models: TrainingModels, state: TrainState):
-        super().__init__(cfg, models, state, finetune=True)
+    def __init__(self, cfg: Config, models: TrainingModels, state: TrainState,
+                 mesh=None):
+        super().__init__(cfg, models, state, finetune=True, mesh=mesh)

@@ -127,16 +127,43 @@ def setup(config_path: str, stage: str):
     return cfg, models, state, train_loader, val_loader, logger, writer
 
 
+def _auto_mesh(cfg, logger):
+    """Data(-×tensor)-parallel mesh over all local devices when >1 present —
+    the declarative replacement for the reference's accelerate-DDP /
+    MyDataParallel layer (train_first.py:49-50, train_second.py:35-40).
+    Disable with STYLETTS2_TPU_MESH=0; set tensor-parallel width with
+    STYLETTS2_TPU_MODEL_PARALLEL=k."""
+    if os.environ.get("STYLETTS2_TPU_MESH", "1") == "0":
+        return None
+    n = jax.device_count()
+    if n <= 1:
+        return None
+    mp = int(os.environ.get("STYLETTS2_TPU_MODEL_PARALLEL", "1"))
+    from styletts2_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n, model_parallel=mp)
+    dp = int(mesh.shape["data"])
+    if cfg.batch_size % dp != 0:
+        logger.warning(
+            f"batch_size {cfg.batch_size} not divisible by data axis {dp}; "
+            "running single-device"
+        )
+        return None
+    logger.info(f"mesh: {dict(mesh.shape)} over {n} devices")
+    return mesh
+
+
 def run_stage(stage: str, config_path: str, max_steps: int | None = None):
     cfg, models, state, train_loader, val_loader, logger, writer = setup(
         config_path, stage
     )
     log_dir = cfg.log_dir
+    mesh = _auto_mesh(cfg, logger)
 
     if stage == "first":
         from styletts2_tpu.train.stage1 import Stage1Trainer
 
-        trainer = Stage1Trainer(cfg, models, state)
+        trainer = Stage1Trainer(cfg, models, state, mesh=mesh)
         epochs = cfg.epochs_1st
         ckpt_fmt = "epoch_1st_{:05d}.ckpt"
     elif stage == "second":
@@ -145,7 +172,7 @@ def run_stage(stage: str, config_path: str, max_steps: int | None = None):
         first_path = os.path.join(log_dir, cfg.first_stage_path)
         if os.path.exists(first_path):
             state = _load_first_stage(state, first_path, logger)
-        trainer = Stage2Trainer(cfg, models, state)
+        trainer = Stage2Trainer(cfg, models, state, mesh=mesh)
         epochs = cfg.epochs_2nd
         ckpt_fmt = "epoch_2nd_{:05d}.ckpt"
     else:
@@ -155,7 +182,7 @@ def run_stage(stage: str, config_path: str, max_steps: int | None = None):
             state = load_checkpoint(
                 cfg.pretrained_model, state, load_only_params=cfg.load_only_params
             )
-        trainer = FinetuneTrainer(cfg, models, state)
+        trainer = FinetuneTrainer(cfg, models, state, mesh=mesh)
         epochs = cfg.epochs_2nd
         ckpt_fmt = "epoch_ft_{:05d}.ckpt"
 
@@ -196,6 +223,28 @@ def run_stage(stage: str, config_path: str, max_steps: int | None = None):
                 agg = {f"eval/{k}": float(np.mean([v[k] for v in vals]))
                        for k in vals[0]}
                 writer.scalars(agg, iters)
+
+        # per-epoch eval artifacts: audio + attention map
+        # (train_first.py:388-414; train_second.py:685-768 — full sampling
+        # path from joint_epoch on)
+        try:
+            first_val = next(iter(val_loader), None)
+            art = None
+            if first_val is not None:
+                if stage == "first":
+                    art = trainer.eval_artifacts(first_val, rng)
+                else:
+                    art = trainer.eval_artifacts(
+                        first_val, rng,
+                        sample=(epoch >= cfg.loss_params.joint_epoch),
+                    )
+            if art:
+                for tag, wav in art.get("audio", {}).items():
+                    writer.audio(f"eval/{tag}", wav, epoch + 1)
+                if "attn" in art:
+                    writer.figure_attention("eval/attn", art["attn"], epoch + 1)
+        except Exception as e:  # artifacts must never kill training
+            logger.warning(f"eval artifacts failed: {type(e).__name__}: {e}")
 
         trainer.state.epoch = epoch + 1
         if (epoch + 1) % cfg.save_freq == 0:

@@ -35,6 +35,8 @@ from styletts2_tpu.train.state import TrainState, apply_module_updates
 
 HOP = 300
 
+_jit_mrstft = jax.jit(L.multires_stft_loss)
+
 
 def clip_slice(x: jnp.ndarray, starts: jnp.ndarray, length: int, axis: int = 1):
     """vmapped dynamic_slice over the batch dim: x (B, ..., T, ...)."""
@@ -82,12 +84,36 @@ def s2s_ce_loss(s2s_pred, tokens, input_lengths):
 
 
 class Stage1Trainer:
-    def __init__(self, cfg: Config, models: TrainingModels, state: TrainState):
+    def __init__(self, cfg: Config, models: TrainingModels, state: TrainState,
+                 mesh=None):
         self.cfg = cfg
         self.models = models
         self.state = state
         self.multispeaker = cfg.model_params.multispeaker
+        self.mesh = mesh
+        if mesh is not None:
+            from styletts2_tpu.parallel.mesh import shard_train_state
+
+            shard_train_state(state, mesh)
         self._steps = {}
+        self._eval_fns = {}
+
+    # ------------------------------------------------------------------
+    def _eval_forward(self, clip_len: int):
+        """Jitted eval-mode forward (validation + artifacts). Eager apply is
+        not an option on TPU: ops like the iSTFT's irfft only lower inside
+        jit on the axon backend (UNIMPLEMENTED eagerly)."""
+        if clip_len not in self._eval_fns:
+
+            @jax.jit
+            def f(params, extras, bdict, starts, key):
+                return self._forward_recon(
+                    params, extras, bdict, starts, starts, key, clip_len,
+                    use_mono=jnp.asarray(1), train=False,
+                )
+
+            self._eval_fns[clip_len] = f
+        return self._eval_fns[clip_len]
 
     # ------------------------------------------------------------------
     def _forward_recon(self, params, extras, batch, starts, st_starts, key,
@@ -174,7 +200,9 @@ class Stage1Trainer:
             )
             loss_mel = L.multires_stft_loss(y_rec, wav_clip)
             metrics = {"mel": loss_mel}
-            g_loss = lp.lambda_mel * loss_mel
+            # pre-TMA the reference uses UNSCALED loss_mel (train_first.py:293:
+            # `g_loss = loss_mel`); lambda_mel applies only in the TMA branch
+            g_loss = (lp.lambda_mel * loss_mel) if tma else loss_mel
             if tma:
                 loss_s2s = s2s_ce_loss(
                     aux["s2s_pred"], batch["tokens"], batch["input_lengths"]
@@ -260,16 +288,24 @@ class Stage1Trainer:
             self._steps[skey] = self._make_step(skey, clip_len, tma)
         step = self._steps[skey]
 
-        bdict = {
-            "waves": jnp.asarray(batch.waves),
-            "tokens": jnp.asarray(batch.tokens),
-            "input_lengths": jnp.asarray(batch.input_lengths),
-            "mel_lengths": jnp.asarray(batch.mel_lengths),
-        }
+        from styletts2_tpu.parallel.mesh import place_batch
+
+        bdict = place_batch(
+            {
+                "waves": np.asarray(batch.waves),
+                "tokens": np.asarray(batch.tokens),
+                "input_lengths": np.asarray(batch.input_lengths),
+                "mel_lengths": np.asarray(batch.mel_lengths),
+                "starts": starts,
+                "st_starts": st_starts,
+            },
+            self.mesh,
+        )
         key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
         params, extras, opt_states, metrics = step(
             self.state.params, self.state.extras, self.state.opt_states,
-            bdict, jnp.asarray(starts), jnp.asarray(st_starts), key,
+            {k: bdict[k] for k in ("waves", "tokens", "input_lengths", "mel_lengths")},
+            bdict["starts"], bdict["st_starts"], key,
             jnp.asarray(1 if use_mono else 0),
         )
         self.state.params = params
@@ -277,6 +313,36 @@ class Stage1Trainer:
         self.state.opt_states = opt_states
         self.state.step += 1
         return {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------------
+    def eval_artifacts(self, batch: Batch, rng: np.random.Generator):
+        """Per-epoch TB artifacts (train_first.py:388-414): reconstruction
+        audio for the first few samples + the first sample's soft-attention
+        map. Returns {'audio': {tag: wav}, 'attn': (T_text, L_mem)} or None."""
+        half = batch.mel_lengths // 2
+        clip_len = int(min(int(half.min()) - 1, self.cfg.max_len // 2))
+        clip_len = max(40, (clip_len // 40) * 40)
+        if int(half.min()) - 1 < 40:
+            return None
+        starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
+        bdict = {
+            "waves": jnp.asarray(batch.waves),
+            "tokens": jnp.asarray(batch.tokens),
+            "input_lengths": jnp.asarray(batch.input_lengths),
+            "mel_lengths": jnp.asarray(batch.mel_lengths),
+        }
+        key = jax.random.PRNGKey(0)
+        y_rec, wav_clip, aux = self._eval_forward(clip_len)(
+            self.state.params, self.state.extras, bdict, jnp.asarray(starts), key
+        )
+        audio = {}
+        for b in range(min(3, y_rec.shape[0])):
+            audio[f"y_rec_{b}"] = np.asarray(y_rec[b])
+            audio[f"gt_{b}"] = np.asarray(wav_clip[b])
+        attn = np.asarray(aux["s2s_attn"][0])[
+            : int(batch.input_lengths[0]), : int(batch.mel_lengths[0]) // 2
+        ]
+        return {"audio": audio, "attn": attn}
 
     # ------------------------------------------------------------------
     def validate(self, batch: Batch, rng: np.random.Generator) -> Optional[float]:
@@ -294,9 +360,7 @@ class Stage1Trainer:
             "mel_lengths": jnp.asarray(batch.mel_lengths),
         }
         key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
-        y_rec, wav_clip, _ = self._forward_recon(
-            self.state.params, self.state.extras, bdict,
-            jnp.asarray(starts), jnp.asarray(starts), key, clip_len,
-            use_mono=jnp.asarray(1), train=False,
+        y_rec, wav_clip, _ = self._eval_forward(clip_len)(
+            self.state.params, self.state.extras, bdict, jnp.asarray(starts), key
         )
-        return float(L.multires_stft_loss(y_rec, wav_clip))
+        return float(_jit_mrstft(y_rec, wav_clip))

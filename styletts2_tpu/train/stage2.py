@@ -47,8 +47,13 @@ from styletts2_tpu.train.state import TrainState, apply_module_updates
 def soft_alignment(dur_logits, lengths, n_frames, sig=1.5):
     """Differentiable duration → soft alignment (slmadv.py:57-75).
 
-    out[b,i,j] = Σ_n sigmoid(dur_logits)[b,i,n] · exp(-(loc_i + n - 1 - j)²/2σ²)
+    out[b,i,j] = Σ_{n≤j} dur_logits[b,i,n] · exp(-(loc_i + n - 1 - j)²/2σ²)
     then softmax over tokens i, masked to valid tokens and j < round(Σ dur).
+    The Gaussian terms are weighted by the RAW logits — the reference
+    convolves `_s2s_pred_org` (pre-sigmoid) with the kernels (slmadv.py:71-74);
+    sigmoid enters only the duration/centre/total computations. The n ≤ j
+    constraint reproduces the conv1d `[..., :l]` kernel-support truncation
+    (kernel index k = n - j + l - 1 must lie in [0, l)).
     Returns (attn (B, T, F), out_frames (B,) int)."""
     B, T, D = dur_logits.shape
     sg = jax.nn.sigmoid(dur_logits)
@@ -61,7 +66,8 @@ def soft_alignment(dur_logits, lengths, n_frames, sig=1.5):
     out = jnp.zeros((B, T, n_frames), sg.dtype)
     for n in range(D):
         w = jnp.exp(-0.5 * jnp.square(loc[..., None] + n - 1 - j) / (sig ** 2))
-        out = out + sg[:, :, n : n + 1] * w
+        w = jnp.where(n <= j, w, 0.0)
+        out = out + dur_logits[:, :, n : n + 1] * w
     # softmax over tokens, invalid tokens excluded
     out = jnp.where(valid_tok[..., None] > 0, out, -jnp.inf)
     attn = jax.nn.softmax(out, axis=1)
@@ -76,13 +82,19 @@ class Stage2Trainer:
     text_encoder/text_aligner/style_encoder/decoder trained throughout."""
 
     def __init__(self, cfg: Config, models: TrainingModels, state: TrainState,
-                 finetune: bool = False):
+                 finetune: bool = False, mesh=None):
         self.cfg = cfg
         self.models = models
         self.state = state
         self.multispeaker = cfg.model_params.multispeaker
         self.finetune = finetune
+        self.mesh = mesh
+        if mesh is not None:
+            from styletts2_tpu.parallel.mesh import shard_train_state
+
+            shard_train_state(state, mesh)
         self._steps = {}
+        self._eval_fns = {}
         self.running_std = []
 
     # ------------------------------------------------------------------
@@ -108,10 +120,15 @@ class Stage2Trainer:
         def mv(p, extras, k):
             return {"params": p[k], **extras.get(k, {})}
 
-        def shared_forward(p, extras, batch, key, train=True):
+        def shared_forward(p, extras, batch, key, train=True, update_stats=False):
             """Aligner + styles + bert (train_second.py:265-310). In finetune
             mode the aligner/text-encoder run WITH gradients and their TMA
-            losses re-enter g_loss (train_finetune.py vs train_second diff)."""
+            losses re-enter g_loss (train_finetune.py vs train_second diff).
+
+            update_stats=True runs one spectral-norm power iteration in the
+            full-utterance style-encoder passes and returns the updated u
+            vectors (torch runs one per train-mode forward,
+            nn.utils.spectral_norm semantics; here: one per optimizer step)."""
             mels = preprocess_mel(batch["waves"])
             mels = mels[:, :, : (mels.shape[-1] // 2) * 2]
             sg = jax.lax.stop_gradient
@@ -134,15 +151,20 @@ class Stage2Trainer:
             asr = jnp.einsum("btc,btl->blc", t_en, mono)
             d_gt = mono.sum(axis=-1)  # (B, T_text)
 
-            # full-utterance styles, batched masked pooling
-            s_dur_full = models.predictor_encoder.apply(
+            # full-utterance styles, batched masked pooling; one spectral-norm
+            # power iteration here when update_stats (mutations → sn_mut)
+            mut = ["spectral"] if update_stats else []
+            s_dur_full, pe_mut = models.predictor_encoder.apply(
                 mv(p, extras, "predictor_encoder"), mels,
-                lengths=batch["mel_lengths"], update_stats=False,
+                lengths=batch["mel_lengths"], update_stats=update_stats,
+                mutable=mut,
             )
-            gs_full = models.style_encoder.apply(
+            gs_full, se_mut = models.style_encoder.apply(
                 mv(p, extras, "style_encoder"), mels,
-                lengths=batch["mel_lengths"], update_stats=False,
+                lengths=batch["mel_lengths"], update_stats=update_stats,
+                mutable=mut,
             )
+            sn_mut = {"predictor_encoder": pe_mut, "style_encoder": se_mut}
             s_trg = sg(jnp.concatenate([gs_full, s_dur_full], axis=-1))
 
             bert_dur = models.bert.apply(
@@ -152,7 +174,7 @@ class Stage2Trainer:
             )
             d_en = models.bert_encoder.apply({"params": p["bert_encoder"]}, bert_dur)
             return (mels, asr, mono, d_gt, s_dur_full, s_trg, bert_dur, d_en,
-                    s2s_pred, s2s_attn)
+                    s2s_pred, s2s_attn, sn_mut)
 
         # --------------------------------------------------------------
         def g_loss_fn(g_params, params, extras, batch, starts, st_starts, key,
@@ -162,7 +184,9 @@ class Stage2Trainer:
             sg = jax.lax.stop_gradient
             k_al, k_diff, k_samp, k_dec, k_dec2, k_drop = jax.random.split(key, 6)
             (mels, asr, mono, d_gt, s_dur_full, s_trg, bert_dur, d_en,
-             s2s_pred, s2s_attn) = shared_forward(p, extras, batch, k_al)
+             s2s_pred, s2s_attn, sn_mut) = shared_forward(
+                p, extras, batch, k_al, update_stats=True
+            )
             metrics = {}
 
             # ---- diffusion (train_second.py:313-336)
@@ -305,6 +329,7 @@ class Stage2Trainer:
                 "y_rec": y_rec,
                 "y_rec_gt": wav_clip,
                 "y_rec_gt_pred": y_rec_gt_pred,
+                "sn_mut": sn_mut,
             }
             if diff_on and ms:
                 aux["ref_feats"] = feats
@@ -319,7 +344,7 @@ class Stage2Trainer:
             sg = jax.lax.stop_gradient
             k_al, k_diff, k_samp, k_dec, k_dec2, k_drop = jax.random.split(key, 6)
             (mels, asr, mono, d_gt, s_dur_full, s_trg, bert_dur, d_en,
-             _, _) = shared_forward(p, extras, batch, k_al, train=False)
+             _, _, _) = shared_forward(p, extras, batch, k_al, train=False)
             dur_logits, p_seq = models.predictor.apply(
                 {"params": sg(p["predictor"])}, d_en, s_dur_full,
                 batch["input_lengths"], mono, train=True,
@@ -395,8 +420,9 @@ class Stage2Trainer:
             s_sampled = jnp.where(steps_flag > 0, s4, s3)
             s_preds = jnp.where(use_ind_flag > 0, s_trg, s_sampled)
 
-            s_dur = s_preds[:, 128:]
-            s_ac = s_preds[:, :128]
+            sdim = cfg.model_params.style_dim  # ref hardcodes 128 (slmadv.py:44-45)
+            s_dur = s_preds[:, sdim:]
+            s_ac = s_preds[:, :sdim]
 
             d_only = models.predictor.apply(
                 {"params": p["predictor"]}, d_en, s_dur, ref_lengths,
@@ -517,6 +543,15 @@ class Stage2Trainer:
             )
             metrics.update(g_metrics)
 
+            # fold the spectral-norm u updates into the carried extras
+            # (stage-1 does the same for style_encoder, stage1.py:229-232)
+            sn_mut = jax.lax.stop_gradient(aux.pop("sn_mut"))
+            extras = dict(extras)
+            for mk, mm in sn_mut.items():
+                if mm:
+                    extras[mk] = dict(extras.get(mk, {}))
+                    extras[mk].update(mm)
+
             new_sigma = jnp.mean(jnp.std(aux["s_trg"], axis=-1))
 
             if joint_on:
@@ -593,12 +628,73 @@ class Stage2Trainer:
         return step
 
     # ------------------------------------------------------------------
-    def validate(self, batch: Batch, rng: np.random.Generator) -> Optional[Dict[str, float]]:
-        """Validation mel/dur/F0 losses (train_second.py:569-676), eager."""
-        cfg = self.cfg
+    def _val_fn(self, clip_len: int):
+        """Jitted validation losses (train_second.py:569-676). Must be jit:
+        ops like the iSTFT's irfft only lower inside jit on TPU."""
+        key_ = ("val", clip_len)
+        if key_ in self._eval_fns:
+            return self._eval_fns[key_]
         models = self.models
-        p = self.state.params
-        extras = self.state.extras
+
+        @jax.jit
+        def f(p, extras, bdict, starts, key):
+            mels = preprocess_mel(bdict["waves"])
+            mels = mels[:, :, : (mels.shape[-1] // 2) * 2]
+            _, _, _, mono = aligner_pass(
+                models, {"text_aligner": {"params": p["text_aligner"]}},
+                mels, bdict["mel_lengths"], bdict["tokens"],
+                bdict["input_lengths"], key, train=False,
+            )
+            t_en = models.text_encoder.apply(
+                {"params": p["text_encoder"]}, bdict["tokens"], bdict["input_lengths"]
+            )
+            asr = jnp.einsum("btc,btl->blc", t_en, mono)
+            d_gt = mono.sum(axis=-1)
+            s_dur_full = models.predictor_encoder.apply(
+                {"params": p["predictor_encoder"], **extras.get("predictor_encoder", {})},
+                mels, lengths=bdict["mel_lengths"],
+            )
+            valid = (jnp.arange(bdict["tokens"].shape[1])[None, :]
+                     < bdict["input_lengths"][:, None]).astype(jnp.int32)
+            bert_dur = models.bert.apply({"params": p["bert"]}, bdict["tokens"], valid)
+            d_en = models.bert_encoder.apply({"params": p["bert_encoder"]}, bert_dur)
+            dur_logits, p_seq = models.predictor.apply(
+                {"params": p["predictor"]}, d_en, s_dur_full,
+                bdict["input_lengths"], mono,
+            )
+            en = clip_slice(asr, starts, clip_len)
+            p_en = clip_slice(p_seq, starts, clip_len)
+            gt = clip_slice(mels, starts * 2, 2 * clip_len, axis=2)
+            wav_clip = clip_slice(bdict["waves"], starts * 600, clip_len * 600)
+            s_dur_clip = models.predictor_encoder.apply(
+                {"params": p["predictor_encoder"], **extras.get("predictor_encoder", {})}, gt
+            )
+            s_clip = models.style_encoder.apply(
+                {"params": p["style_encoder"], **extras.get("style_encoder", {})}, gt
+            )
+            F0_real, _, _ = models.pitch_extractor.apply(
+                {"params": p["pitch_extractor"], **extras.get("pitch_extractor", {})}, gt
+            )
+            F0_fake, N_fake = models.predictor.apply(
+                {"params": p["predictor"]}, p_en, s_dur_clip, method="F0Ntrain"
+            )
+            y_rec = models.decoder.apply(
+                {"params": p["decoder"]}, en, F0_fake, N_fake, s_clip,
+                rngs={"noise": key},
+            )
+            dur_pred_sum = jax.nn.sigmoid(dur_logits).sum(-1)
+            return {
+                "mel": L.multires_stft_loss(y_rec, wav_clip),
+                "dur": L.duration_l1_loss(dur_pred_sum, d_gt, bdict["input_lengths"]),
+                "F0": L.smooth_l1(F0_real, F0_fake) / 10.0,
+            }
+
+        self._eval_fns[key_] = f
+        return f
+
+    def validate(self, batch: Batch, rng: np.random.Generator) -> Optional[Dict[str, float]]:
+        """Validation mel/dur/F0 losses (train_second.py:569-676)."""
+        cfg = self.cfg
         half = batch.mel_lengths // 2
         clip_len = int(min(int(half.min()) - 1, cfg.max_len // 2))
         clip_len = max(40, (clip_len // 40) * 40)
@@ -612,56 +708,210 @@ class Stage2Trainer:
             "mel_lengths": jnp.asarray(batch.mel_lengths),
         }
         key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
-        mels = preprocess_mel(bdict["waves"])
-        mels = mels[:, :, : (mels.shape[-1] // 2) * 2]
-        _, _, _, mono = aligner_pass(
-            models, {"text_aligner": {"params": p["text_aligner"]}},
-            mels, bdict["mel_lengths"], bdict["tokens"], bdict["input_lengths"],
-            key, train=False,
+        out = self._val_fn(clip_len)(
+            self.state.params, self.state.extras, bdict, jnp.asarray(starts), key
         )
-        t_en = models.text_encoder.apply(
-            {"params": p["text_encoder"]}, bdict["tokens"], bdict["input_lengths"]
-        )
-        asr = jnp.einsum("btc,btl->blc", t_en, mono)
-        d_gt = mono.sum(axis=-1)
-        s_dur_full = models.predictor_encoder.apply(
-            {"params": p["predictor_encoder"], **extras.get("predictor_encoder", {})},
-            mels, lengths=bdict["mel_lengths"],
-        )
-        valid = (jnp.arange(bdict["tokens"].shape[1])[None, :]
-                 < bdict["input_lengths"][:, None]).astype(jnp.int32)
-        bert_dur = models.bert.apply({"params": p["bert"]}, bdict["tokens"], valid)
-        d_en = models.bert_encoder.apply({"params": p["bert_encoder"]}, bert_dur)
-        dur_logits, p_seq = models.predictor.apply(
-            {"params": p["predictor"]}, d_en, s_dur_full,
-            bdict["input_lengths"], mono,
-        )
-        en = clip_slice(asr, jnp.asarray(starts), clip_len)
-        p_en = clip_slice(p_seq, jnp.asarray(starts), clip_len)
-        gt = clip_slice(mels, jnp.asarray(starts) * 2, 2 * clip_len, axis=2)
-        wav_clip = clip_slice(bdict["waves"], jnp.asarray(starts) * 600, clip_len * 600)
-        s_dur_clip = models.predictor_encoder.apply(
-            {"params": p["predictor_encoder"], **extras.get("predictor_encoder", {})}, gt
-        )
-        s_clip = models.style_encoder.apply(
-            {"params": p["style_encoder"], **extras.get("style_encoder", {})}, gt
-        )
-        F0_real, _, _ = models.pitch_extractor.apply(
-            {"params": p["pitch_extractor"], **extras.get("pitch_extractor", {})}, gt
-        )
-        F0_fake, N_fake = models.predictor.apply(
-            {"params": p["predictor"]}, p_en, s_dur_clip, method="F0Ntrain"
-        )
-        y_rec = models.decoder.apply(
-            {"params": p["decoder"]}, en, F0_fake, N_fake, s_clip,
-            rngs={"noise": key},
-        )
-        dur_pred_sum = jax.nn.sigmoid(dur_logits).sum(-1)
-        return {
-            "mel": float(L.multires_stft_loss(y_rec, wav_clip)),
-            "dur": float(L.duration_l1_loss(dur_pred_sum, d_gt, bdict["input_lengths"])),
-            "F0": float(L.smooth_l1(F0_real, F0_fake) / 10.0),
+        return {k: float(v) for k, v in out.items()}
+
+    # ------------------------------------------------------------------
+    def eval_artifacts(self, batch: Batch, rng: np.random.Generator,
+                       sample: bool = False):
+        """Per-epoch TB audio (train_second.py:685-768): predicted-prosody
+        reconstruction before joint training; from joint_epoch on, the FULL
+        text→speech sampling path (diffusion style + predicted durations),
+        mirroring the inference flow."""
+        cfg = self.cfg
+        models = self.models
+        p = self.state.params
+        extras = self.state.extras
+        key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
+        audio = {}
+
+        if not sample:
+            half = batch.mel_lengths // 2
+            clip_len = int(min(int(half.min()) - 1, cfg.max_len // 2))
+            clip_len = max(40, (clip_len // 40) * 40)
+            if int(half.min()) - 1 < 40:
+                return None
+            starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
+            bdict = {
+                "waves": jnp.asarray(batch.waves),
+                "tokens": jnp.asarray(batch.tokens),
+                "input_lengths": jnp.asarray(batch.input_lengths),
+                "mel_lengths": jnp.asarray(batch.mel_lengths),
+            }
+            y_rec, wav_clip = self._artifact_recon_fn(clip_len)(
+                p, extras, bdict, jnp.asarray(starts), key
+            )
+            for b in range(min(3, y_rec.shape[0])):
+                audio[f"y_rec_{b}"] = np.asarray(y_rec[b])
+                audio[f"gt_{b}"] = np.asarray(wav_clip[b])
+            return {"audio": audio}
+
+        # ---- full sampling path (epoch >= joint_epoch): two jitted stages
+        # with one host sync for the realized frame count
+        bdict = {
+            "waves": jnp.asarray(batch.waves[:1]),
+            "tokens": jnp.asarray(batch.tokens[:1]),
+            "input_lengths": jnp.asarray(batch.input_lengths[:1]),
+            "mel_lengths": jnp.asarray(batch.mel_lengths[:1]),
         }
+        d, s, ref, t_en, pred_dur = self._artifact_sample_a_fn()(
+            p, extras, bdict, jnp.asarray(float(self.state.sigma_data)), key
+        )
+        total = int(np.asarray(pred_dur).sum())
+        wav = self._artifact_sample_b_fn(total)(
+            p, t_en, d, s, ref, pred_dur, jax.random.fold_in(key, 3)
+        )
+        audio["sampled_0"] = np.asarray(wav[0])
+        audio["gt_0"] = np.asarray(
+            batch.waves[0][: int(batch.wave_lengths[0])]
+        )
+        return {"audio": audio}
+
+    def _artifact_recon_fn(self, clip_len: int):
+        key_ = ("art_recon", clip_len)
+        if key_ in self._eval_fns:
+            return self._eval_fns[key_]
+        models = self.models
+
+        @jax.jit
+        def f(p, extras, bdict, starts, key):
+            mels = preprocess_mel(bdict["waves"])
+            mels = mels[:, :, : (mels.shape[-1] // 2) * 2]
+            _, _, _, mono = aligner_pass(
+                models, {"text_aligner": {"params": p["text_aligner"]}},
+                mels, bdict["mel_lengths"], bdict["tokens"],
+                bdict["input_lengths"], key, train=False,
+            )
+            t_en = models.text_encoder.apply(
+                {"params": p["text_encoder"]}, bdict["tokens"], bdict["input_lengths"]
+            )
+            asr = jnp.einsum("btc,btl->blc", t_en, mono)
+            valid = (jnp.arange(bdict["tokens"].shape[1])[None, :]
+                     < bdict["input_lengths"][:, None]).astype(jnp.int32)
+            bert_dur = models.bert.apply({"params": p["bert"]}, bdict["tokens"], valid)
+            d_en = models.bert_encoder.apply({"params": p["bert_encoder"]}, bert_dur)
+            s_dur_full = models.predictor_encoder.apply(
+                {"params": p["predictor_encoder"], **extras.get("predictor_encoder", {})},
+                mels, lengths=bdict["mel_lengths"],
+            )
+            _, p_seq = models.predictor.apply(
+                {"params": p["predictor"]}, d_en, s_dur_full,
+                bdict["input_lengths"], mono,
+            )
+            en = clip_slice(asr, starts, clip_len)
+            p_en = clip_slice(p_seq, starts, clip_len)
+            gt = clip_slice(mels, starts * 2, 2 * clip_len, axis=2)
+            wav_clip = clip_slice(bdict["waves"], starts * 600, clip_len * 600)
+            s_dur_clip = models.predictor_encoder.apply(
+                {"params": p["predictor_encoder"], **extras.get("predictor_encoder", {})}, gt
+            )
+            s_clip = models.style_encoder.apply(
+                {"params": p["style_encoder"], **extras.get("style_encoder", {})}, gt
+            )
+            F0_fake, N_fake = models.predictor.apply(
+                {"params": p["predictor"]}, p_en, s_dur_clip, method="F0Ntrain"
+            )
+            y_rec = models.decoder.apply(
+                {"params": p["decoder"]}, en, F0_fake, N_fake, s_clip,
+                rngs={"noise": key},
+            )
+            return y_rec, wav_clip
+
+        self._eval_fns[key_] = f
+        return f
+
+    def _artifact_sample_a_fn(self):
+        key_ = "art_sample_a"
+        if key_ in self._eval_fns:
+            return self._eval_fns[key_]
+        models = self.models
+        cfg = self.cfg
+        sd = cfg.model_params.style_dim
+        ms = self.multispeaker
+
+        @jax.jit
+        def f(p, extras, bdict, sigma_data, key):
+            from styletts2_tpu.models.diffusion.sampler import (
+                make_denoise_fn as _mk, sample_adpm2 as _samp,
+            )
+
+            tokens = bdict["tokens"]
+            lengths = bdict["input_lengths"]
+            valid = (jnp.arange(tokens.shape[1])[None, :]
+                     < lengths[:, None]).astype(jnp.int32)
+            bert_dur = models.bert.apply({"params": p["bert"]}, tokens, valid)
+            d_en = models.bert_encoder.apply({"params": p["bert_encoder"]}, bert_dur)
+
+            feats = None
+            if ms:
+                mels = preprocess_mel(bdict["waves"])
+                gs = models.style_encoder.apply(
+                    {"params": p["style_encoder"], **extras.get("style_encoder", {})},
+                    mels, lengths=bdict["mel_lengths"],
+                )
+                sp = models.predictor_encoder.apply(
+                    {"params": p["predictor_encoder"], **extras.get("predictor_encoder", {})},
+                    mels, lengths=bdict["mel_lengths"],
+                )
+                feats = jnp.concatenate([gs, sp], axis=-1)
+
+            def net_apply(x, c_noise, **kw):
+                return models.diffusion.apply(
+                    {"params": p["diffusion"]}, x, c_noise, bert_dur,
+                    features=feats, embedding_lengths=lengths,
+                )
+
+            denoise = _mk(net_apply, sigma_data)
+            k_n, k_s = jax.random.split(key)
+            noise = jax.random.normal(k_n, (tokens.shape[0], 1, 2 * sd))
+            s_pred = _samp(denoise, noise, k_s, num_steps=5)[:, 0, :]
+            s, ref = s_pred[:, sd:], s_pred[:, :sd]
+            d = models.predictor.apply(
+                {"params": p["predictor"]}, d_en, s, lengths, method="encode_texts"
+            )
+            dur_logits = models.predictor.apply(
+                {"params": p["predictor"]}, d, lengths, method="duration"
+            )
+            pred_dur = jnp.maximum(
+                jnp.round(jax.nn.sigmoid(dur_logits).sum(-1)), 1.0
+            )
+            pred_dur = jnp.where(
+                jnp.arange(tokens.shape[1])[None, :] < lengths[:, None],
+                pred_dur, 0.0,
+            ).astype(jnp.int32)
+            t_en = models.text_encoder.apply(
+                {"params": p["text_encoder"]}, tokens, lengths
+            )
+            return d, s, ref, t_en, pred_dur
+
+        self._eval_fns[key_] = f
+        return f
+
+    def _artifact_sample_b_fn(self, total: int):
+        key_ = ("art_sample_b", total)
+        if key_ in self._eval_fns:
+            return self._eval_fns[key_]
+        models = self.models
+
+        @jax.jit
+        def f(p, t_en, d, s, ref, pred_dur, key):
+            from styletts2_tpu.utils import duration_to_alignment
+
+            aln = duration_to_alignment(pred_dur, total)
+            en = jnp.einsum("btc,btf->bfc", d, aln)
+            F0_pred, N_pred = models.predictor.apply(
+                {"params": p["predictor"]}, en, s, method="F0Ntrain"
+            )
+            asr = jnp.einsum("btc,btf->bfc", t_en, aln)
+            return models.decoder.apply(
+                {"params": p["decoder"]}, asr, F0_pred, N_pred, ref,
+                rngs={"noise": key},
+            )
+
+        self._eval_fns[key_] = f
+        return f
 
     # ------------------------------------------------------------------
     def train_step(self, batch: Batch, epoch: int, iters: int,
@@ -692,32 +942,38 @@ class Stage2Trainer:
         step = self._steps[skey]
 
         use_ind = rng.random() < 0.5
-        bdict = {
-            "waves": jnp.asarray(batch.waves),
-            "tokens": jnp.asarray(batch.tokens),
-            "input_lengths": jnp.asarray(batch.input_lengths),
-            "mel_lengths": jnp.asarray(batch.mel_lengths),
-            "ref_tokens": jnp.asarray(
-                batch.tokens if use_ind else batch.ref_tokens
-            ),
-            "ref_lengths": jnp.asarray(
-                batch.input_lengths if use_ind else batch.ref_lengths
-            ),
-            "ref_waves": jnp.asarray(batch.ref_waves),
-            "ref_mel_lengths": jnp.asarray(
-                np.minimum(batch.ref_wave_lengths // 300 + 1, batch.ref_waves.shape[1] // 300)
-            ),
-        }
+        from styletts2_tpu.parallel.mesh import place_batch
+
+        bdict = place_batch(
+            {
+                "waves": np.asarray(batch.waves),
+                "tokens": np.asarray(batch.tokens),
+                "input_lengths": np.asarray(batch.input_lengths),
+                "mel_lengths": np.asarray(batch.mel_lengths),
+                "ref_tokens": np.asarray(
+                    batch.tokens if use_ind else batch.ref_tokens
+                ),
+                "ref_lengths": np.asarray(
+                    batch.input_lengths if use_ind else batch.ref_lengths
+                ),
+                "ref_waves": np.asarray(batch.ref_waves),
+                "ref_mel_lengths": np.asarray(
+                    np.minimum(batch.ref_wave_lengths // 300 + 1, batch.ref_waves.shape[1] // 300)
+                ),
+            },
+            self.mesh,
+        )
         coins = {
             "num_steps": jnp.asarray(int(rng.integers(0, 2))),
             "use_ind": jnp.asarray(int(use_ind and rng.random() < 0.5)),
             "use_rec": jnp.asarray(int(rng.integers(0, 2))),
             "slm_d": jnp.asarray(int((iters + 1) % sa.iter == 0)),
         }
+        placed = place_batch({"starts": starts, "st_starts": st_starts}, self.mesh)
         key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
         params, extras, opt_states, metrics, new_sigma = step(
             self.state.params, self.state.extras, self.state.opt_states,
-            bdict, jnp.asarray(starts), jnp.asarray(st_starts), key,
+            bdict, placed["starts"], placed["st_starts"], key,
             jnp.asarray(self.state.sigma_data, jnp.float32), coins,
         )
         self.state.params = params

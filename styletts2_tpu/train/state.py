@@ -134,6 +134,15 @@ def load_checkpoint(
             new.opt_states = serialization.from_state_dict(
                 state.opt_states, payload["opt"]
             )
-        except Exception:
-            pass
+        except Exception as e:
+            # a silently-skipped restore would resume with fresh Adam moments
+            # — a training-dynamics regression that's nearly impossible to
+            # notice downstream, so make it loud
+            import logging
+
+            logging.getLogger("styletts2_tpu").warning(
+                "optimizer-state restore from %s failed (%s: %s); continuing "
+                "with freshly initialized optimizer moments",
+                path, type(e).__name__, e,
+            )
     return new

@@ -1,59 +1,28 @@
 """Stage-1 trainer smoke tests: one optimization step end-to-end on
 synthetic batches (tiny model config), pre-TMA and TMA phases."""
 
-import dataclasses
-
 import jax
 import numpy as np
 import pytest
 
-from styletts2_tpu.config import Config
 from styletts2_tpu.data.meldataset import Batch
-from styletts2_tpu.models.build import build_training_models, init_training_params
-from styletts2_tpu.models.wavlm import WavLM
-from styletts2_tpu.train.state import TrainState, build_module_optimizers
 from styletts2_tpu.train.stage1 import Stage1Trainer
 
 
 def make_setup():
-    cfg = Config()
-    cfg.plbert_params.num_hidden_layers = 1
-    cfg.model_params.diffusion.transformer.num_layers = 1
-    cfg.max_len = 80  # small clips for test speed
-    models = build_training_models(cfg)
-    models = dataclasses.replace(
-        models, wavlm=WavLM(hidden=64, heads=2, intermediate=96, num_layers=2)
-    )
-    variables = init_training_params(models, jax.random.PRNGKey(0), cfg)
-    opt_keys = [
-        "bert", "bert_encoder", "predictor", "decoder", "text_encoder",
-        "predictor_encoder", "style_encoder", "diffusion", "text_aligner",
-        "pitch_extractor", "mpd", "msd", "wd",
-    ]
-    txs = build_module_optimizers(cfg, opt_keys)
-    state = TrainState.create(variables, txs)
+    """Shrunk-width full-structure setup shared with the multi-chip dryrun
+    (parallel/dryrun.py) — same programs, shared persistent compile cache."""
+    from styletts2_tpu.parallel.dryrun import tiny_config, tiny_training_setup
+
+    cfg = tiny_config()
+    models, state = tiny_training_setup(cfg)
     return cfg, models, state
 
 
-def make_batch(rng, B=2, wav_len=27000, bucket=48000, T_text=12):
-    waves = np.zeros((B, bucket), np.float32)
-    wave_lengths = np.zeros(B, np.int32)
-    mel_lengths = np.zeros(B, np.int32)
-    for b in range(B):
-        n = wav_len + b * 1500
-        waves[b, :n] = rng.standard_normal(n).astype(np.float32) * 0.1
-        wave_lengths[b] = n
-        ml = n // 300 + 1
-        mel_lengths[b] = ml - ml % 2
-    tokens = np.zeros((B, 32), np.int32)
-    tokens[:, :T_text] = rng.integers(4, 178, (B, T_text))
-    input_lengths = np.full(B, T_text, np.int32)
-    return Batch(
-        waves=waves, wave_lengths=wave_lengths, tokens=tokens,
-        input_lengths=input_lengths, ref_tokens=tokens, ref_lengths=input_lengths,
-        mel_lengths=mel_lengths, ref_waves=waves[:, :24000].copy(),
-        ref_wave_lengths=np.full(B, 24000, np.int32), speakers=np.zeros(B, np.int32),
-    )
+def make_batch(rng, B=2, wav_len=27000, bucket=48000, T_text=12) -> Batch:
+    from styletts2_tpu.parallel.dryrun import synthetic_batch
+
+    return synthetic_batch(rng, B, wav_len=wav_len, bucket=bucket, T_text=T_text)
 
 
 @pytest.mark.slow
