@@ -46,7 +46,19 @@ class Synthesizer:
         text_bucket: int = 64,
         frame_bucket: int = 100,
         sigma_data: float = 0.2,
+        decoder_dtype: Optional[str] = None,
     ):
+        """decoder_dtype: 'float32' (default) | 'bfloat16'.
+        The bf16 decoder path (the reference's fp16 analog,
+        train_finetune_accelerate.py:33-35) keeps f32 islands for sine
+        phase, normalization statistics, weight-norm and the iSTFT head, and
+        roughly halves decoder HBM traffic on TPU. It is OPT-IN: on
+        random/converted weights the measured compute-precision MCD delta is
+        ~1 dB (TPU, identical bf16-rounded params) — the random-init decoder
+        chaotically amplifies activation rounding, so the ≤0.5 dB budget is
+        not demonstrably met without trained checkpoints. Methodology and
+        numbers in docs/PERFORMANCE.md; regression bound in
+        tests/test_bf16.py."""
         self.cfg = cfg
         self.models = build_models(cfg)
         self.multispeaker = cfg.model_params.multispeaker
@@ -55,6 +67,7 @@ class Synthesizer:
         self.sigma_data = sigma_data
         self.text_bucket = text_bucket
         self.frame_bucket = frame_bucket
+        self.decoder_dtype = jnp.dtype(decoder_dtype or "float32")
         if params is None:
             params = init_params(self.models, jax.random.PRNGKey(seed), cfg)
         # park weights on the accelerator once — params initialized on the
@@ -113,12 +126,14 @@ class Synthesizer:
         multispeaker = self.multispeaker
         sd = self.style_dim
 
-        def stage_style(params, bert_dur, noise, key, ref_s, alpha, beta, s_prev, s_prev_w):
+        def stage_style(params, bert_dur, lengths, noise, key, ref_s, alpha, beta,
+                        s_prev, s_prev_w):
             def net_apply(x, c_noise, **kw):
                 return models.diffusion.apply(
                     params["diffusion"], x, c_noise, bert_dur,
                     features=ref_s if multispeaker else None,
                     embedding_scale=embedding_scale,
+                    embedding_lengths=lengths,
                 )
 
             denoise = make_denoise_fn(net_apply, self.sigma_data)
@@ -161,6 +176,7 @@ class Synthesizer:
                     params["diffusion"], x, c_noise, bert_dur,
                     features=ref_s if multispeaker else None,
                     embedding_scale=embedding_scale,
+                    embedding_lengths=lengths,
                 )
 
             denoise = make_denoise_fn(net_apply, self.sigma_data)
@@ -202,6 +218,18 @@ class Synthesizer:
         smaller executables load dramatically faster on tunneled runtimes."""
         models = self.models
         hifigan = self.hifigan
+        dd = self.decoder_dtype
+
+        def cast_dec(params, asr, ref):
+            """Serving-dtype cast for the decoder stage (see __init__)."""
+            if dd == jnp.float32:
+                return params["decoder"], asr, ref
+            dp = jax.tree.map(
+                lambda x: x.astype(dd)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                params["decoder"],
+            )
+            return dp, asr.astype(dd), ref.astype(dd)
 
         @jax.jit
         def stage_prosody(params, t_en, d, s, pred_dur):
@@ -219,15 +247,18 @@ class Synthesizer:
 
         @jax.jit
         def stage_decode(params, asr, F0_pred, N_pred, ref, key):
-            return models.decoder.apply(
-                params["decoder"], asr, F0_pred, N_pred, ref, rngs={"noise": key}
+            dp, asr, ref = cast_dec(params, asr, ref)
+            wav = models.decoder.apply(
+                dp, asr, F0_pred, N_pred, ref, rngs={"noise": key}
             )
+            return wav.astype(jnp.float32)
 
         @jax.jit
         def stage_decode_pcm16(params, asr, F0_pred, N_pred, ref, key):
+            dp, asr, ref = cast_dec(params, asr, ref)
             wav = models.decoder.apply(
-                params["decoder"], asr, F0_pred, N_pred, ref, rngs={"noise": key}
-            )
+                dp, asr, F0_pred, N_pred, ref, rngs={"noise": key}
+            ).astype(jnp.float32)
             # 16-bit PCM halves the host-transfer volume (the serving format)
             return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
@@ -276,10 +307,19 @@ class Synthesizer:
         pad_last_token: bool = None,
         trim_samples: int = None,
         pcm16: bool = False,
+        raw_text: bool = False,
+        speed: float = 1.0,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Synthesize one utterance from pre-phonemized IPA text.
+        """Synthesize one utterance from pre-phonemized IPA text; with
+        raw_text=True the input is plain English run through the optional
+        phonemizer/espeak frontend with the reference's exact word_tokenize
+        preprocessing (Demo/Inference_LJSpeech.ipynb cell 17).
 
         Returns (wav float32 at 24 kHz, s_pred style for carry-over)."""
+        if raw_text:
+            from styletts2_tpu.text import phonemize
+
+            text = phonemize(text)
         if pad_last_token is None:
             pad_last_token = not self.multispeaker  # LJSpeech pred_dur[-1]+=5
         if trim_samples is None:
@@ -312,11 +352,16 @@ class Synthesizer:
             self.params, jnp.asarray(tokens), jnp.asarray(lengths)
         )
         s, ref, s_out = stage_style(
-            self.params, bert_dur, noise, k_samp, ref_s, alpha, beta,
-            jnp.asarray(s_prev), float(s_prev_weight),
+            self.params, bert_dur, jnp.asarray(lengths), noise, k_samp, ref_s,
+            alpha, beta, jnp.asarray(s_prev), float(s_prev_weight),
         )
         d, pred_dur = stage_duration(self.params, d_en, s, jnp.asarray(lengths))
         pred_dur = np.array(pred_dur)  # writable host copy
+        if speed != 1.0:
+            # speech-rate control: speed>1 shortens durations (serving
+            # feature beyond the reference; also used by bench.py to pin
+            # utterance length to a realistic value)
+            pred_dur[:, :L] = np.maximum(np.round(pred_dur[:, :L] / speed), 1)
         if pad_last_token:
             pred_dur[0, L - 1] += 5
         total = int(pred_dur.sum())
@@ -353,6 +398,7 @@ class Synthesizer:
                     params["diffusion"], x, c_noise, bert_dur,
                     features=ref_s if multispeaker else None,
                     embedding_scale=embedding_scale,
+                    embedding_lengths=lengths,
                 )
 
             denoise = make_denoise_fn(net_apply, self.sigma_data)
@@ -385,9 +431,17 @@ class Synthesizer:
             asr = jnp.einsum("btc,btf->bfc", t_en, aln)
             if hifigan:
                 asr = jnp.concatenate([asr[:, :1], asr[:, :-1]], axis=1)
+            dparams = params["decoder"]
+            if self.decoder_dtype != jnp.float32:
+                dd = self.decoder_dtype
+                dparams = jax.tree.map(
+                    lambda v: v.astype(dd)
+                    if jnp.issubdtype(v.dtype, jnp.floating) else v, dparams,
+                )
+                asr, ref = asr.astype(dd), ref.astype(dd)
             wav = models.decoder.apply(
-                params["decoder"], asr, F0_pred, N_pred, ref, rngs={"noise": k_dec}
-            )
+                dparams, asr, F0_pred, N_pred, ref, rngs={"noise": k_dec}
+            ).astype(jnp.float32)
             total = jnp.minimum(pred_dur.sum(axis=1), frame_budget)
             return wav, total
 
@@ -504,12 +558,15 @@ class Synthesizer:
         seed: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Long-form segment synthesis with style carry-over
-        (LibriTTS cell 42 / LJSpeech cell 29)."""
+        (LibriTTS cell 42 / LJSpeech cell 29). The reference LFinference
+        never applies the +5 last-token duration pad (that is plain
+        `inference` only, LJSpeech cell 17), so it is disabled here too."""
         wav, s_pred = self.inference(
             text, ref_s=ref_s, alpha=alpha, beta=beta,
             diffusion_steps=diffusion_steps, embedding_scale=embedding_scale,
             seed=seed, s_prev=s_prev, s_prev_weight=t if s_prev is not None else 0.0,
             trim_samples=100 if self.multispeaker else 0,
+            pad_last_token=False,
         )
         return wav, s_pred
 

@@ -53,7 +53,8 @@ class Generator(nn.Module):
         har_source, _ = SourceModuleHnNSF(
             upsample_scale=total_up, harmonic_num=8, name="m_source"
         )(f0)
-        har_source = jax.lax.stop_gradient(har_source)  # (B, L, 1)
+        # SineGen runs f32 internally; rejoin the serving dtype here
+        har_source = jax.lax.stop_gradient(har_source).astype(x.dtype)  # (B, L, 1)
 
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch_in = self.upsample_initial_channel // (2 ** i)
@@ -89,7 +90,7 @@ class Generator(nn.Module):
             f"alpha_{len(self.upsample_rates)}", nn.initializers.ones,
             (1, 1, self.upsample_initial_channel // (2 ** len(self.upsample_rates))),
         )
-        x = snake(x, alpha_last)
+        x = snake(x, alpha_last).astype(jnp.float32)  # f32 output head
         x = WNConv1d(1, 7, padding=3, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
 
@@ -130,6 +131,11 @@ class Decoder(nn.Module):
                 n_curve,
             )
 
+        # full-precision pitch for the sine source; conv branches in the
+        # serving dtype (see decoder_istft.Decoder)
+        f0_full = f0_curve.astype(jnp.float32)
+        f0_curve = f0_curve.astype(asr.dtype)
+        n_curve = n_curve.astype(asr.dtype)
         F0 = WNConv1d(1, 3, stride=2, padding=1, name="F0_conv")(f0_curve[..., None])
         N = WNConv1d(1, 3, stride=2, padding=1, name="N_conv")(n_curve[..., None])
 
@@ -151,4 +157,4 @@ class Decoder(nn.Module):
             resblock_dilation_sizes=tuple(map(tuple, self.resblock_dilation_sizes)),
             upsample_kernel_sizes=tuple(self.upsample_kernel_sizes),
             name="generator",
-        )(x, s, f0_curve)
+        )(x, s, f0_full)

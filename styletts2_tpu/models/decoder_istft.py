@@ -68,7 +68,11 @@ class SineGen(nn.Module):
 
     @nn.compact
     def __call__(self, f0):
-        """f0: (B, L, 1) at sample rate -> (sine_waves (B, L, H+1), uv (B, L, 1))."""
+        """f0: (B, L, 1) at sample rate -> (sine_waves (B, L, H+1), uv (B, L, 1)).
+
+        Computed in f32 regardless of the serving dtype: the cumulative
+        phase reaches thousands of radians, far beyond bf16 resolution."""
+        f0 = f0.astype(jnp.float32)
         B, L, _ = f0.shape
         dim = self.harmonic_num + 1
         harmonics = jnp.arange(1, dim + 1, dtype=f0.dtype)
@@ -183,7 +187,7 @@ class Generator(nn.Module):
         )
         har = jnp.concatenate([har_spec, har_phase], axis=-2)  # (B, n_fft+2, F)
         har = jnp.swapaxes(har, -1, -2)  # NWC (B, F, n_fft+2)
-        har = jax.lax.stop_gradient(har)
+        har = jax.lax.stop_gradient(har).astype(x.dtype)  # join serving dtype
 
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             c_cur = self.upsample_initial_channel // (2 ** (i + 1))
@@ -218,6 +222,7 @@ class Generator(nn.Module):
 
         x = leaky_relu(x)
         x = WNConv1d(self.gen_istft_n_fft + 2, 7, padding=3, name="conv_post")(x)
+        x = x.astype(jnp.float32)  # exp/sin + iSTFT head in f32
         n_half = self.gen_istft_n_fft // 2 + 1
         spec = jnp.exp(x[..., :n_half])  # (B, F, 11)
         phase = jnp.sin(x[..., n_half:])
@@ -283,8 +288,13 @@ class Decoder(nn.Module):
                 n_curve,
             )
 
-        F0 = WNConv1d(1, 3, stride=2, padding=1, name="F0_conv")(f0_curve[..., None])
-        N = WNConv1d(1, 3, stride=2, padding=1, name="N_conv")(n_curve[..., None])
+        # full-precision pitch for the sine source (phase accuracy); the
+        # conv conditioning branches run in the serving dtype (bf16-safe)
+        f0_full = f0_curve.astype(jnp.float32)
+        f0c = f0_curve.astype(asr.dtype)
+        nc = n_curve.astype(asr.dtype)
+        F0 = WNConv1d(1, 3, stride=2, padding=1, name="F0_conv")(f0c[..., None])
+        N = WNConv1d(1, 3, stride=2, padding=1, name="N_conv")(nc[..., None])
 
         x = jnp.concatenate([asr, F0, N], axis=-1)
         bn = self.bottleneck
@@ -306,4 +316,4 @@ class Decoder(nn.Module):
             gen_istft_n_fft=self.gen_istft_n_fft,
             gen_istft_hop_size=self.gen_istft_hop_size,
             name="generator",
-        )(x, s, f0_curve)
+        )(x, s, f0_full)

@@ -48,7 +48,8 @@ class SelfAttention(nn.Module):
     style_dim: int = 0
 
     @nn.compact
-    def __call__(self, x, s: Optional[jnp.ndarray] = None):
+    def __call__(self, x, s: Optional[jnp.ndarray] = None,
+                 valid: Optional[jnp.ndarray] = None):
         mid = self.num_heads * self.head_features
         if self.style_dim > 0:
             h = AdaLayerNorm(name="norm")(x, s)
@@ -63,6 +64,10 @@ class SelfAttention(nn.Module):
         kh = k.reshape(B, T, nh, dh)
         vh = v.reshape(B, T, nh, dh)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * (dh ** -0.5)
+        if valid is not None:  # exclude padded keys (bucketed serving)
+            logits = jnp.where(
+                valid[:, None, None, :] > 0, logits, jnp.finfo(logits.dtype).min
+            )
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(B, T, mid)
         return nn.Dense(self.features, name="to_out")(out)
@@ -76,11 +81,12 @@ class TransformerBlock(nn.Module):
     style_dim: int = 0
 
     @nn.compact
-    def __call__(self, x, s: Optional[jnp.ndarray] = None):
+    def __call__(self, x, s: Optional[jnp.ndarray] = None,
+                 valid: Optional[jnp.ndarray] = None):
         x = SelfAttention(
             self.features, self.num_heads, self.head_features, self.style_dim,
             name="attention",
-        )(x, s) + x
+        )(x, s, valid) + x
         x = FeedForward(self.multiplier, name="feed_forward")(x) + x
         return x
 
@@ -125,10 +131,17 @@ class StyleTransformer1d(nn.Module):
         embedding_mask_proba: float = 0.0,
         embedding_scale: float = 1.0,
         train: bool = False,
+        embedding_lengths: Optional[jnp.ndarray] = None,
     ):
         """x: (B, 1, channels) noisy style latent; time: (B,) noise level;
         embedding: (B, T, 768) PL-BERT features; features: (B, context_features)
-        reference style (multispeaker) -> (B, 1, channels)."""
+        reference style (multispeaker) -> (B, 1, channels).
+
+        embedding_lengths (B,) optionally masks padded embedding positions
+        out of the attention and the mean pool, making BUCKET-padded serving
+        numerically identical to the reference's exact-length inference
+        (the reference trains on padded batches unmasked — trainers here do
+        the same — but its notebooks always infer at exact length)."""
         B, T = embedding.shape[0], embedding.shape[1]
         mapping_features = self.channels + self.context_embedding_features
 
@@ -146,7 +159,13 @@ class StyleTransformer1d(nn.Module):
             mask = jax.random.bernoulli(key, embedding_mask_proba, (B, 1, 1))
             embedding = jnp.where(mask, fixed_embedding, embedding)
 
-        def run(x_, emb_, feats_):
+        valid = None
+        if embedding_lengths is not None:
+            valid = (
+                jnp.arange(T)[None, :] < embedding_lengths[:, None]
+            ).astype(embedding.dtype)
+
+        def run(x_, emb_, feats_, valid_):
             items = TimePositionalEmbedding(
                 self.channels, mapping_features, name="to_time"
             )(time if x_.shape[0] == B else jnp.tile(time, 2))
@@ -172,8 +191,13 @@ class StyleTransformer1d(nn.Module):
                     self.multiplier,
                     style_dim=self.context_features if self.style_cond else 0,
                     name=f"block_{i}",
-                )(h, s)
-            h = jnp.mean(h, axis=1, keepdims=True)  # (B, 1, M)
+                )(h, s, valid_)
+            if valid_ is not None:
+                h = jnp.sum(h * valid_[..., None], axis=1, keepdims=True) / (
+                    jnp.sum(valid_, axis=1)[:, None, None] + 1e-8
+                )
+            else:
+                h = jnp.mean(h, axis=1, keepdims=True)  # (B, 1, M)
             return nn.Dense(self.channels, name="to_out")(h)
 
         if embedding_scale != 1.0:
@@ -185,7 +209,10 @@ class StyleTransformer1d(nn.Module):
                 if features is not None
                 else None
             )
-            out2 = run(x2, emb2, feats2)
+            valid2 = (
+                jnp.concatenate([valid, valid], axis=0) if valid is not None else None
+            )
+            out2 = run(x2, emb2, feats2, valid2)
             out, out_masked = out2[:B], out2[B:]
             return out_masked + (out - out_masked) * embedding_scale
-        return run(x, embedding, features)
+        return run(x, embedding, features, valid)

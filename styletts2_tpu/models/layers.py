@@ -110,8 +110,11 @@ class WNConv1d(nn.Module):
             "v", uniform_centered(bound), k_shape
         )
         g = self.param("g", nn.initializers.constant(bound * math.sqrt(fan_in)), (self.features,))
-        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
-        w = v / norm * g[None, None, :]
+        # normalize in f32: bf16 sum-accumulation over the kernel elements
+        # loses ~1% per layer, compounding to several dB of MCD downstream
+        v32 = v.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(v32 * v32, axis=(0, 1), keepdims=True) + 1e-12)
+        w = (v32 / norm * g.astype(jnp.float32)[None, None, :]).astype(v.dtype)
         y = _conv1d(x, w, self.stride, self.padding, self.dilation, self.groups)
         if self.use_bias:
             b = self.param("bias", uniform_centered(bound), (self.features,))
@@ -166,8 +169,11 @@ class WNConvTranspose1d(nn.Module):
         bound = 1.0 / math.sqrt(fan_in)
         v = self.param("v", uniform_centered(bound), k_shape)
         g = self.param("g", nn.initializers.constant(bound * math.sqrt(fan_in)), (in_ch,))
-        norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True) + 1e-12)
-        w_t = v / norm * g[:, None, None]  # (in, out/g, K)
+        v32 = v.astype(jnp.float32)  # f32 normalization (see WNConv1d)
+        norm = jnp.sqrt(jnp.sum(v32 * v32, axis=(1, 2), keepdims=True) + 1e-12)
+        w_t = (v32 / norm * g.astype(jnp.float32)[:, None, None]).astype(
+            v.dtype
+        )  # (in, out/g, K)
         if self.groups == 1:
             w = jnp.transpose(w_t, (2, 0, 1))  # (K, in, out)
         elif self.groups == in_ch and self.features == in_ch:
@@ -250,10 +256,12 @@ class SNConv2d(nn.Module):
 
 def instance_norm(x, axis=1, eps=1e-5):
     """InstanceNorm over the time axis for NWC input (torch InstanceNorm1d
-    normalizes each (b, c) over time)."""
-    mean = jnp.mean(x, axis=axis, keepdims=True)
-    var = jnp.var(x, axis=axis, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    normalizes each (b, c) over time). Statistics accumulate in f32 so the
+    bf16 serving path keeps full normalization accuracy."""
+    xs = x.astype(jnp.float32)
+    mean = jnp.mean(xs, axis=axis, keepdims=True)
+    var = jnp.var(xs, axis=axis, keepdims=True)
+    return ((xs - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class ChannelLayerNorm(nn.Module):

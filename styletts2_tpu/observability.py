@@ -57,10 +57,24 @@ class MetricsWriter:
                 self.tb.add_scalar(k, float(v), step)
 
     def audio(self, tag: str, wav, step: int, sr: int = 24000):
-        if self.tb is not None:
-            import numpy as np
+        import numpy as np
 
-            self.tb.add_audio(tag, np.asarray(wav).reshape(1, -1), step, sample_rate=sr)
+        wav = np.asarray(wav)
+        if self.tb is not None:
+            self.tb.add_audio(tag, wav.reshape(1, -1), step, sample_rate=sr)
+        # always-on on-disk copy (inspectable without TensorBoard)
+        try:
+            from styletts2_tpu.utils import write_wav
+
+            adir = os.path.join(os.path.dirname(self.jsonl.name), "eval_audio")
+            os.makedirs(adir, exist_ok=True)
+            safe = tag.replace("/", "_")
+            write_wav(
+                os.path.join(adir, f"{safe}_step{step}.wav"),
+                wav.astype(np.float32).ravel(), sr,
+            )
+        except Exception:
+            pass
 
     def figure_attention(self, tag: str, attn, step: int):
         if self.tb is not None:

@@ -25,10 +25,14 @@ from styletts2_tpu.models.layers import instance_norm, snake
 
 
 def _adain_snake_ref(x, gamma, beta, alpha, eps=1e-5):
-    """Reference composition (AdaIN1d + snake, models/layers.py)."""
-    y = instance_norm(x, axis=1, eps=eps)
-    y = (1.0 + gamma[:, None, :]) * y + beta[:, None, :]
-    return snake(y, alpha)
+    """Reference composition (AdaIN1d + snake, models/layers.py); math in
+    f32 (matching the kernel) even for bf16 activations."""
+    dt = x.dtype
+    y = instance_norm(x.astype(jnp.float32), axis=1, eps=eps)
+    y = (1.0 + gamma.astype(jnp.float32)[:, None, :]) * y + beta.astype(
+        jnp.float32
+    )[:, None, :]
+    return snake(y, alpha.astype(jnp.float32)).astype(dt)
 
 
 def _kernel(x_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, alpha_ref, out_ref):
@@ -36,15 +40,15 @@ def _kernel(x_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, alpha_ref, out_ref):
     # The per-(b, c) stats arrive as full-batch (B, Ct) blocks (TPU requires
     # sublane dims divisible by 8 or whole); select this program's row.
     bi = pl.program_id(0)
-    x = x_ref[0]  # (Tt, Ct)
+    x = x_ref[0].astype(jnp.float32)  # (Tt, Ct); math in f32 even for bf16 io
     mean = mean_ref[bi][None, :]
     rstd = rstd_ref[bi][None, :]
-    g = gamma_ref[bi][None, :]
-    b = beta_ref[bi][None, :]
-    a = alpha_ref[0][None, :]
+    g = gamma_ref[bi][None, :].astype(jnp.float32)
+    b = beta_ref[bi][None, :].astype(jnp.float32)
+    a = alpha_ref[0][None, :].astype(jnp.float32)
     y = (1.0 + g) * ((x - mean) * rstd) + b
     s = jnp.sin(a * y)
-    out_ref[0] = y + (s * s) / a
+    out_ref[0] = (y + (s * s) / a).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -56,17 +60,22 @@ def fused_adain_snake(x, gamma, beta, alpha, interpret: bool = False):
     normalize→affine→snake chain then runs in a single tiled VMEM pass."""
     B, T, C = x.shape
     CT = min(C, 128)
-    # largest divisor of T ≤ 2048 keeps blocks ≲ 1 MB; odd/prime lengths
-    # (e.g. the reflection-padded 120F+1 stage) fall back to the jnp chain
-    TT = 1
-    for d in range(min(T, 2048), 0, -1):
+    # time tile: the Mosaic lowering needs the sublane (2nd-minor) block dim
+    # divisible by 8 OR equal to the full axis. Prefer the largest 8-divisible
+    # divisor of T ≤ 2048; whole-T blocks are fine when T itself fits; odd/
+    # prime long lengths fall back to the jnp chain.
+    TT = 0
+    for d in range(min(T - T % 8, 2048), 0, -8):
         if T % d == 0:
             TT = d
             break
+    if TT == 0 and T <= 2048:
+        TT = T  # single whole-axis block
     if C % CT != 0 or TT < 64:
         return _adain_snake_ref(x, gamma, beta, jnp.broadcast_to(alpha, (1, 1, C)))
-    mean = jnp.mean(x, axis=1)  # (B, C)
-    var = jnp.mean(jnp.square(x), axis=1) - mean * mean
+    xs = x.astype(jnp.float32)  # f32 statistics for bf16 activations
+    mean = jnp.mean(xs, axis=1)  # (B, C)
+    var = jnp.mean(jnp.square(xs), axis=1) - mean * mean
     rstd = jax.lax.rsqrt(var + 1e-5)
     grid = (B, T // TT, C // CT)
     return pl.pallas_call(

@@ -62,13 +62,38 @@ def encode_text(text: str, pad_start: bool = True, pad_end: bool = False) -> np.
     return np.asarray(ids, dtype=np.int32)
 
 
-def phonemize(text: str, language: str = "en-us") -> str:
-    """Phonemize raw text to IPA via espeak-ng, if `phonemizer` is available.
+def word_tokenize(text: str) -> List[str]:
+    """nltk.word_tokenize as used by the reference inference cells
+    (Demo/Inference_LJSpeech.ipynb cell 17). Falls back to nltk's
+    TreebankWordTokenizer (pure regex, no punkt data download) when the
+    punkt model is unavailable — identical output for single sentences."""
+    try:
+        from nltk.tokenize import word_tokenize as _wt  # type: ignore
 
-    The reference uses phonemizer.backend.EspeakBackend(preserve_punctuation,
-    with_stress) + nltk word_tokenize at inference only. Training data is
-    pre-phonemized, so this is an optional dependency here too.
-    """
+        try:
+            return _wt(text)
+        except LookupError:
+            pass
+    except Exception:
+        pass
+    try:
+        from nltk.tokenize import TreebankWordTokenizer  # type: ignore
+
+        return TreebankWordTokenizer().tokenize(text)
+    except Exception:
+        # last-resort split: punctuation as separate tokens
+        import re
+
+        return re.findall(r"[^\s;:,.!?¡¿—…\"«»“”]+|[;:,.!?¡¿—…\"«»“”]", text)
+
+
+def phonemize(text: str, language: str = "en-us") -> str:
+    """Raw text → IPA phoneme string, reproducing the reference inference
+    preprocessing exactly (Demo/Inference_LJSpeech.ipynb cell 17):
+    strip → drop double quotes → espeak phonemize of the whole text →
+    word_tokenize → space-join. Requires the optional `phonemizer` package
+    (espeak-ng backend); training lists are pre-phonemized as in the
+    reference, so this is inference-only glue."""
     try:
         from phonemizer.backend import EspeakBackend  # type: ignore
     except Exception as e:  # pragma: no cover - optional dep
@@ -78,9 +103,9 @@ def phonemize(text: str, language: str = "en-us") -> str:
     backend = EspeakBackend(
         language=language, preserve_punctuation=True, with_stress=True
     )
-    words = text.split(" ")
-    ps = backend.phonemize(words)
-    return " ".join(p.strip() for p in ps)
+    text = text.strip().replace('"', "")
+    ps = backend.phonemize([text])
+    return " ".join(word_tokenize(ps[0]))
 
 
 def pad_token_batch(

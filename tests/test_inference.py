@@ -51,3 +51,22 @@ def test_multispeaker_inference_and_lf():
     wav2, s2 = syn.LFinference("sˈɛkənd sˈɛntəns.", s1, ref_s=ref, diffusion_steps=3)
     assert np.isfinite(wav2).all()
     assert s2.shape == (1, 256)
+
+
+@pytest.mark.slow
+def test_bucketed_inference_matches_exact_length():
+    """Token-bucket padding must not change the output: the denoiser masks
+    padded embedding positions (embedding_lengths), so a 64-bucket run
+    equals an exact-length run. Guards the serving configuration's fidelity
+    vs the reference's exact-length notebooks."""
+    text = "ðɪs ɪz ɐ tˈɛst."
+    cfg = tiny_cfg(False)
+    syn_exact = Synthesizer(cfg, seed=0, text_bucket=1, frame_bucket=1)
+    syn_bucket = Synthesizer(cfg, seed=0, text_bucket=64, frame_bucket=1)
+    noise = np.random.default_rng(3).standard_normal((1, 1, 256)).astype(np.float32)
+    wav_e, s_e = syn_exact.inference(text, noise=noise, diffusion_steps=3, seed=5)
+    wav_b, s_b = syn_bucket.inference(text, noise=noise, diffusion_steps=3, seed=5)
+    np.testing.assert_allclose(s_b, s_e, atol=2e-5)
+    assert wav_e.shape == wav_b.shape
+    denom = np.abs(wav_e).max() + 1e-6
+    np.testing.assert_allclose(wav_b / denom, wav_e / denom, atol=1e-3)

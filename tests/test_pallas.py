@@ -7,14 +7,37 @@ import jax.numpy as jnp
 from styletts2_tpu.ops.pallas_kernels import _adain_snake_ref, fused_adain_snake
 
 
-def test_fused_adain_snake_matches_reference(rng):
-    B, T, C = 2, 24, 256
+import pytest
+
+
+# T=128 exercises the actual Pallas kernel (TT=128 ≥ 64 with C divisible by
+# the 128 channel tile); T=24 trips the TT<64 fallback — both paths must
+# agree with the jnp reference. B=3 covers the batch>1 full-batch stat
+# blocks (the round-1 block-spec fix).
+@pytest.mark.parametrize("B,T,C,kernel_path", [(2, 24, 256, False), (3, 128, 256, True)])
+def test_fused_adain_snake_matches_reference(rng, B, T, C, kernel_path):
+    from styletts2_tpu.ops import pallas_kernels as pk
+
     x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
     gamma = jnp.asarray(rng.standard_normal((B, C)) * 0.1, jnp.float32)
     beta = jnp.asarray(rng.standard_normal((B, C)) * 0.1, jnp.float32)
     alpha = jnp.asarray(np.abs(rng.standard_normal(C)) + 0.5, jnp.float32)
     want = _adain_snake_ref(x, gamma, beta, jnp.broadcast_to(alpha.reshape(1, 1, C), (1, 1, C)))
-    got = fused_adain_snake(x, gamma, beta, alpha, interpret=True)
+    calls = []
+    orig = pk.pl.pallas_call
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    pk.pl.pallas_call = spy
+    try:
+        got = fused_adain_snake(x, gamma, beta, alpha, interpret=True)
+    finally:
+        pk.pl.pallas_call = orig
+    assert bool(calls) == kernel_path, (
+        f"expected kernel_path={kernel_path}, pallas_call invoked={bool(calls)}"
+    )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 

@@ -56,3 +56,13 @@ def test_default_config_roundtrip():
     d = cfg.to_dict()
     cfg2 = Config.from_dict(d)
     assert cfg2.model_params.decoder.upsample_rates == [10, 6]
+
+
+def test_word_tokenize_reference_preprocessing():
+    """phonemize()'s tokenize step: punctuation split off as separate
+    tokens, exactly like nltk word_tokenize in the reference notebook."""
+    from styletts2_tpu.text import word_tokenize
+
+    assert word_tokenize("hˈɛloʊ, wˈɜːld.") == [
+        "hˈɛloʊ", ",", "wˈɜːld", "."
+    ]
