@@ -416,9 +416,11 @@ def convert_diffusion(
     pre = "unet." if any(k.startswith("unet.") for k in sd) else ""
     p: Dict[str, Any] = {}
     p["fixed_embedding"] = t(sd[f"{pre}fixed_embedding.embedding.weight"])
+    # to_time = Sequential(TimePositionalEmbedding(=Seq(LPE, Linear)), GELU)
+    # in BOTH variants (modules.py:100-106, 343-347)
     p["to_time"] = {
-        "weights": t(sd[f"{pre}to_time.0.weights"]),
-        "proj": lin(sd, f"{pre}to_time.1"),
+        "weights": t(sd[f"{pre}to_time.0.0.weights"]),
+        "proj": lin(sd, f"{pre}to_time.0.1"),
     }
     if multispeaker:
         p["to_features"] = lin(sd, f"{pre}to_features.0")
@@ -433,8 +435,10 @@ def convert_diffusion(
         }
         if multispeaker:
             att["norm"] = {"fc": lin(sd, f"{b}.attention.norm.fc")}
+            att["norm_context"] = {"fc": lin(sd, f"{b}.attention.norm_context.fc")}
         else:
             att["norm"] = ln(sd, f"{b}.attention.norm")
+            att["norm_context"] = ln(sd, f"{b}.attention.norm_context")
         p[f"block_{i}"] = {
             "attention": att,
             "feed_forward": {

@@ -51,12 +51,17 @@ class SelfAttention(nn.Module):
     def __call__(self, x, s: Optional[jnp.ndarray] = None,
                  valid: Optional[jnp.ndarray] = None):
         mid = self.num_heads * self.head_features
+        # the reference normalizes q-input and kv-input with SEPARATE norms
+        # (Attention.norm / norm_context, modules.py:553-583; AdaLayerNorm
+        # pair in StyleAttention, modules.py:234-281) even for self-attention
         if self.style_dim > 0:
-            h = AdaLayerNorm(name="norm")(x, s)
+            h_q = AdaLayerNorm(name="norm")(x, s)
+            h_kv = AdaLayerNorm(name="norm_context")(x, s)
         else:
-            h = nn.LayerNorm(name="norm")(x)
-        q = nn.Dense(mid, use_bias=False, name="to_q")(h)
-        kv = nn.Dense(mid * 2, use_bias=False, name="to_kv")(h)
+            h_q = nn.LayerNorm(name="norm")(x)
+            h_kv = nn.LayerNorm(name="norm_context")(x)
+        q = nn.Dense(mid, use_bias=False, name="to_q")(h_q)
+        kv = nn.Dense(mid * 2, use_bias=False, name="to_kv")(h_kv)
         k, v = jnp.split(kv, 2, axis=-1)
         B, T, _ = x.shape
         nh, dh = self.num_heads, self.head_features

@@ -128,7 +128,23 @@ def _ensure_stubs():
                 power = spec.real**2 + spec.imag**2
                 return torch.matmul(self.fb.T, power)
 
+        def create_dct(n_mfcc, n_mels, norm=None):
+            """torchaudio.functional.create_dct: (n_mels, n_mfcc) DCT-II
+            basis, applied as mel @ dct."""
+            import numpy as np
+
+            n = np.arange(n_mels)[:, None]
+            k = np.arange(n_mfcc)[None, :]
+            dct = np.cos(np.pi / n_mels * (n + 0.5) * k)
+            if norm == "ortho":
+                dct *= np.sqrt(2.0 / n_mels)
+                dct[:, 0] *= 1.0 / np.sqrt(2.0)
+            else:
+                dct *= 2.0
+            return torch.from_numpy(dct.astype(np.float32))
+
         tr.MelSpectrogram = MelSpectrogram
+        fn.create_dct = create_dct
         ta.transforms = tr
         ta.functional = fn
         sys.modules["torchaudio"] = ta
