@@ -24,7 +24,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from styletts2_tpu.text import TextCleaner
-from styletts2_tpu.utils import read_wav, resample_linear
+from styletts2_tpu.utils import read_wav, resample_sinc
 
 HOP = 300
 PAD_SAMPLES = 5000
@@ -92,7 +92,9 @@ class FilePathDataset:
     def load_wave(self, path: str) -> np.ndarray:
         wave, sr = read_wav(os.path.join(self.root, path))
         if sr != self.sr:
-            wave = resample_linear(wave, sr, self.sr)
+            # windowed-sinc polyphase — same quality as the reference's
+            # librosa load+resample (meldataset.py:58-66)
+            wave = resample_sinc(wave, sr, self.sr)
         return np.concatenate(
             [np.zeros(PAD_SAMPLES, np.float32), wave, np.zeros(PAD_SAMPLES, np.float32)]
         )
@@ -135,7 +137,19 @@ class FilePathDataset:
 
 
 class DataLoader:
-    """Bucketed batch iterator (shuffling, drop-last for training)."""
+    """Bucketed batch iterator (shuffling, drop-last for training).
+
+    TPU-host throughput features (reference meldataset.py:184-189, 233-254):
+      * length-grouped batching — a shuffled window of `length_group`
+        batches is sorted by audio length before carving batches, so items
+        in a batch share a wave bucket (less padding → less wasted chip
+        time) while batch ORDER stays shuffled;
+      * in-batch sort by mel length descending (the reference collater's
+        sort, meldataset.py:184-189);
+      * `prefetch` > 0 decodes ahead on a background thread (the reference
+        uses multi-worker torch DataLoader) so host audio decode overlaps
+        the device step.
+    """
 
     def __init__(
         self,
@@ -146,6 +160,9 @@ class DataLoader:
         seed: int = 1,
         text_bucket: int = 32,
         wave_bucket: int = 2 * 24000,
+        length_group: int = 8,
+        prefetch: int = 2,
+        num_workers: int = 2,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -154,26 +171,109 @@ class DataLoader:
         self.seed = seed
         self.text_bucket = text_bucket
         self.wave_bucket = wave_bucket
+        self.length_group = max(1, length_group)
+        self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
         self.epoch = 0
+        self._lengths: Optional[List[int]] = None
 
     def __len__(self):
         n = len(self.ds) // self.batch_size
         return n if self.drop_last else -(-len(self.ds) // self.batch_size)
 
-    def __iter__(self) -> Iterator[Batch]:
-        rng = random.Random(self.seed + self.epoch)
+    def _item_length(self, idx: int) -> int:
+        """Cheap per-item length proxy for grouping: WAV header frame count
+        (no decode)."""
+        if self._lengths is None:
+            self._lengths = [-1] * len(self.ds)
+        if self._lengths[idx] < 0:
+            path = os.path.join(self.ds.root, self.ds.data[idx][0])
+            try:
+                import wave as _wave
+
+                with _wave.open(path, "rb") as f:
+                    n = f.getnframes()
+                    sr = f.getframerate()
+                self._lengths[idx] = int(n * self.ds.sr / sr)
+            except Exception:
+                self._lengths[idx] = 0
+        return self._lengths[idx]
+
+    def _batch_index_plan(self, rng: random.Random) -> List[List[int]]:
         order = list(range(len(self.ds)))
         if self.shuffle:
             rng.shuffle(order)
-        self.epoch += 1
         bs = self.batch_size
-        for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
-            idxs = order[i : i + bs]
+        if self.shuffle and self.length_group > 1:
+            win = bs * self.length_group
+            for w0 in range(0, len(order), win):
+                chunk = order[w0 : w0 + win]
+                chunk.sort(key=self._item_length, reverse=True)
+                order[w0 : w0 + win] = chunk
+        batches = [
+            order[i : i + bs]
+            for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs)
+        ]
+        if self.shuffle:
+            rng.shuffle(batches)
+        return batches
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = random.Random(self.seed + self.epoch)
+        self.epoch += 1
+        batches = self._batch_index_plan(rng)
+
+        def make(idxs: List[int]) -> Batch:
             items = [self.ds.get_item(j, rng) for j in idxs]
-            yield self.collate(items)
+            return self.collate(items)
+
+        if self.prefetch <= 0:
+            for idxs in batches:
+                yield make(idxs)
+            return
+
+        # background decode: a small pipeline of in-flight batches
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    q.put(make(idxs))
+            except Exception as e:  # surface decode errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                got = q.get()
+                if got is None:
+                    break
+                if isinstance(got, Exception):
+                    raise got
+                yield got
+        finally:
+            stop.set()
+            # drain so the producer can exit its blocking put
+            try:
+                while True:
+                    q.get_nowait()
+            except Exception:
+                pass
 
     def collate(self, items) -> Batch:
         B = len(items)
+        # reference collater sorts by mel length descending
+        # (meldataset.py:184-189)
+        items = sorted(items, key=lambda it: it["mel_len"], reverse=True)
         t_max = _bucket(max(len(it["tokens"]) for it in items), self.text_bucket, self.text_bucket)
         r_max = _bucket(max(len(it["ref_tokens"]) for it in items), self.text_bucket, self.text_bucket)
         w_max = _bucket(max(len(it["wave"]) for it in items), self.wave_bucket, self.wave_bucket)
