@@ -181,18 +181,14 @@ class Stage1Trainer:
         )
         d_keys = ("msd", "mpd")
 
-        def d_loss_fn(d_params, params, extras, batch, starts, st_starts, key, use_mono):
-            p = dict(params)
-            p.update(d_params)
-            y_rec, wav_clip, aux = self._forward_recon(
-                p, extras, batch, starts, st_starts, key, clip_len, use_mono
-            )
-            y_rec = jax.lax.stop_gradient(y_rec)
-            mpd_out = models.mpd.apply({"params": p["mpd"]}, wav_clip, y_rec)
-            msd_out = models.msd.apply({"params": p["msd"]}, wav_clip, y_rec)
-            return L.discriminator_adv_loss(mpd_out, msd_out)
-
-        def g_loss_fn(g_params, params, extras, batch, starts, st_starts, key, use_mono):
+        def gen_forward(g_params, params, extras, batch, starts, st_starts, key,
+                        use_mono):
+            """ONE generator forward per step (the reference computes y_rec
+            once and feeds it detached to the D loss, train_first.py:253-264;
+            round-2 code recomputed the whole forward in the D pass). Returns
+            grad-carrying (partial_g_loss, y_rec) — the adversarial term is
+            added outside against the POST-update discriminators, with its
+            y_rec cotangent pulled back through the stored vjp."""
             p = dict(params)
             p.update(g_params)
             y_rec, wav_clip, aux = self._forward_recon(
@@ -209,9 +205,6 @@ class Stage1Trainer:
                 )
                 loss_mono = jnp.mean(jnp.abs(aux["s2s_attn"] - aux["mono"])) * 10.0
                 sg = jax.lax.stop_gradient
-                mpd_out = models.mpd.apply({"params": sg(p["mpd"])}, wav_clip, y_rec)
-                msd_out = models.msd.apply({"params": sg(p["msd"])}, wav_clip, y_rec)
-                loss_gen = L.generator_adv_loss(mpd_out, msd_out)
                 # WavLM feature-matching loss (losses.py:201-212)
                 wav16 = resample_24k_to_16k(wav_clip)
                 rec16 = resample_24k_to_16k(y_rec)
@@ -225,32 +218,58 @@ class Stage1Trainer:
                     g_loss
                     + lp.lambda_mono * loss_mono
                     + lp.lambda_s2s * loss_s2s
-                    + lp.lambda_gen * loss_gen
                     + lp.lambda_slm * loss_slm
                 )
-                metrics.update(
-                    s2s=loss_s2s, mono=loss_mono, gen=loss_gen, slm=loss_slm
-                )
-            return g_loss, (metrics, aux["se_mut"])
+                metrics.update(s2s=loss_s2s, mono=loss_mono, slm=loss_slm)
+            return (g_loss, y_rec), (metrics, wav_clip, aux["se_mut"])
 
         @jax.jit
         def step(params, extras, opt_states, batch, starts, st_starts, key, use_mono):
             metrics = {}
-            # --- discriminator update first (train_first.py:259-264)
+            sg = jax.lax.stop_gradient
+            g_params = {k: params[k] for k in g_keys}
+            (partial_loss, y_rec), vjp_fn, (g_metrics, wav_clip, se_mut) = jax.vjp(
+                lambda gp: gen_forward(
+                    gp, params, extras, batch, starts, st_starts, key, use_mono
+                ),
+                g_params,
+                has_aux=True,
+            )
+            # --- discriminator update first, on detached y_rec
+            # (train_first.py:259-264)
             if tma:
+                y_sg = sg(y_rec)
+
+                def d_loss_fn(d_params):
+                    mpd_out = models.mpd.apply({"params": d_params["mpd"]}, wav_clip, y_sg)
+                    msd_out = models.msd.apply({"params": d_params["msd"]}, wav_clip, y_sg)
+                    return L.discriminator_adv_loss(mpd_out, msd_out)
+
                 d_params = {k: params[k] for k in d_keys}
-                d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
-                    d_params, params, extras, batch, starts, st_starts, key, use_mono
-                )
+                d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
                 params, opt_states = apply_module_updates(
                     params, opt_states, d_grads, txs, d_keys
                 )
                 metrics["d_loss"] = d_loss
-            # --- generator update
-            g_params = {k: params[k] for k in g_keys}
-            (g_loss, (g_metrics, se_mut)), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True
-            )(g_params, params, extras, batch, starts, st_starts, key, use_mono)
+            # --- generator update: adversarial term against the updated Ds
+            if tma:
+
+                def adv_fn(y):
+                    mpd_out = models.mpd.apply({"params": sg(params["mpd"])}, wav_clip, y)
+                    msd_out = models.msd.apply({"params": sg(params["msd"])}, wav_clip, y)
+                    return L.generator_adv_loss(mpd_out, msd_out)
+
+                loss_gen, y_cot = jax.value_and_grad(adv_fn)(y_rec)
+                g_loss = partial_loss + lp.lambda_gen * loss_gen
+                (g_grads,) = vjp_fn(
+                    (jnp.ones_like(partial_loss), lp.lambda_gen * y_cot)
+                )
+                g_metrics = dict(g_metrics, gen=loss_gen)
+            else:
+                g_loss = partial_loss
+                (g_grads,) = vjp_fn(
+                    (jnp.ones_like(partial_loss), jnp.zeros_like(y_rec))
+                )
             params, opt_states = apply_module_updates(
                 params, opt_states, g_grads, txs, g_keys
             )

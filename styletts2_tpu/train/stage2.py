@@ -177,8 +177,14 @@ class Stage2Trainer:
                     s2s_pred, s2s_attn, sn_mut)
 
         # --------------------------------------------------------------
-        def g_loss_fn(g_params, params, extras, batch, starts, st_starts, key,
-                      sigma_data, num_steps_flags):
+        def gen_forward(g_params, params, extras, batch, starts, st_starts, key,
+                        sigma_data, num_steps_flags):
+            """ONE generator forward per step (the reference computes y_rec
+            once and feeds it detached to the D loss,
+            train_second.py:400-412; round-2 code recomputed the whole
+            forward in the D pass). Returns grad-carrying
+            (partial_g_loss, y_rec); the adversarial term is added outside
+            against the POST-update discriminators via the stored vjp."""
             p = dict(params)
             p.update(g_params)
             sg = jax.lax.stop_gradient
@@ -279,13 +285,6 @@ class Stage2Trainer:
             loss_norm = L.smooth_l1(N_real, N_fake)
             loss_mel = L.multires_stft_loss(y_rec, wav_tgt)
 
-            if diff_on or ft:  # start_ds gates GAN losses; finetune: always
-                mpd_out = models.mpd.apply({"params": sg(p["mpd"])}, wav_tgt, y_rec)
-                msd_out = models.msd.apply({"params": sg(p["msd"])}, wav_tgt, y_rec)
-                loss_gen = L.generator_adv_loss(mpd_out, msd_out)
-            else:
-                loss_gen = 0.0
-
             wav16 = resample_24k_to_16k(sg(wav_tgt))
             rec16 = resample_24k_to_16k(y_rec)
             wl_params = {"params": sg(params["wavlm"])}
@@ -297,13 +296,15 @@ class Stage2Trainer:
             loss_ce = L.duration_ce_loss(dur_logits, d_gt, batch["input_lengths"])
             loss_dur = L.duration_l1_loss(dur_pred_sum, d_gt, batch["input_lengths"])
 
+            # NOTE: the λ_gen adversarial term is intentionally absent here —
+            # it is computed in `step` against the post-update discriminators
+            # and folded in through the vjp cotangent on y_rec.
             g_loss = (
                 lp.lambda_mel * loss_mel
                 + lp.lambda_F0 * loss_F0
                 + lp.lambda_ce * loss_ce
                 + lp.lambda_norm * loss_norm
                 + lp.lambda_dur * loss_dur
-                + lp.lambda_gen * loss_gen
                 + lp.lambda_slm * loss_slm
                 + lp.lambda_sty * loss_sty
                 + lp.lambda_diff * loss_diff
@@ -326,66 +327,13 @@ class Stage2Trainer:
                 "bert_dur": bert_dur,
                 "d_en": d_en,
                 "wav_tgt": wav_tgt,
-                "y_rec": y_rec,
                 "y_rec_gt": wav_clip,
                 "y_rec_gt_pred": y_rec_gt_pred,
                 "sn_mut": sn_mut,
             }
             if diff_on and ms:
                 aux["ref_feats"] = feats
-            return g_loss, (metrics, aux)
-
-        # --------------------------------------------------------------
-        def d_loss_fn(d_params, params, extras, batch, starts, st_starts, key,
-                      sigma_data):
-            """Discriminator pass: recompute y_rec (same keys) detached."""
-            p = dict(params)
-            p.update(d_params)
-            sg = jax.lax.stop_gradient
-            k_al, k_diff, k_samp, k_dec, k_dec2, k_drop = jax.random.split(key, 6)
-            (mels, asr, mono, d_gt, s_dur_full, s_trg, bert_dur, d_en,
-             _, _, _) = shared_forward(p, extras, batch, k_al, train=False)
-            dur_logits, p_seq = models.predictor.apply(
-                {"params": sg(p["predictor"])}, d_en, s_dur_full,
-                batch["input_lengths"], mono, train=True,
-                rngs={"dropout": k_drop},
-            )
-            en = clip_slice(asr, starts, clip_len)
-            p_en = clip_slice(p_seq, starts, clip_len)
-            gt = clip_slice(mels, starts * 2, 2 * clip_len, axis=2)
-            st = clip_slice(mels, st_starts * 2, 2 * clip_len, axis=2)
-            wav_clip = clip_slice(batch["waves"], starts * 600, clip_len * 600)
-            style_in = st if ms else gt
-            s_dur_clip = models.predictor_encoder.apply(
-                mv(p, extras, "predictor_encoder"), style_in, update_stats=False
-            )
-            s_clip = models.style_encoder.apply(
-                mv(p, extras, "style_encoder"), style_in, update_stats=False
-            )
-            F0_real, _, _ = models.pitch_extractor.apply(
-                mv(p, extras, "pitch_extractor"), gt
-            )
-            N_real = log_norm(gt)
-            if joint_on:
-                wav_tgt = wav_clip
-            else:
-                wav_tgt = models.decoder.apply(
-                    {"params": sg(p["decoder"])}, en, sg(F0_real), sg(N_real),
-                    sg(s_clip), rngs={"noise": k_dec},
-                )
-            F0_fake, N_fake = models.predictor.apply(
-                {"params": sg(p["predictor"])}, p_en, s_dur_clip,
-                method="F0Ntrain", train=True, rngs={"dropout": k_drop},
-            )
-            y_rec = models.decoder.apply(
-                {"params": sg(p["decoder"])}, en, F0_fake, N_fake, s_clip,
-                train=joint_on, rngs={"noise": k_dec2},
-            )
-            y_rec = sg(y_rec)
-            wav_tgt = sg(wav_tgt)
-            mpd_out = models.mpd.apply({"params": p["mpd"]}, wav_tgt, y_rec)
-            msd_out = models.msd.apply({"params": p["msd"]}, wav_tgt, y_rec)
-            return L.discriminator_adv_loss(mpd_out, msd_out)
+            return (g_loss, y_rec), (metrics, aux)
 
         # --------------------------------------------------------------
         def slm_gen_loss_fn(slm_params, params, extras, batch, key,
@@ -520,24 +468,55 @@ class Stage2Trainer:
             k_d, k_g, k_slm, k_slmd = jax.random.split(key, 4)
 
             # σ_data batch estimate (train_second.py:316-318) needs s_trg:
-            # computed inside g_loss_fn; we fold the update after the step.
+            # computed inside gen_forward; we fold the update after the step.
+
+            g_params = {k: params[k] for k in g_keys}
+            (partial_loss, y_rec), vjp_fn, (g_metrics, aux) = jax.vjp(
+                lambda gp: gen_forward(
+                    gp, params, extras, batch, starts, st_starts, k_g,
+                    sigma_data, coins["num_steps"],
+                ),
+                g_params,
+                has_aux=True,
+            )
+            wav_tgt = sg(aux["wav_tgt"])
 
             if diff_on or ft:
+                # --- discriminator update first, on detached y_rec
+                # (train_second.py:407-412)
+                y_sg = sg(y_rec)
+
+                def d_loss_fn(d_params):
+                    mpd_out = models.mpd.apply({"params": d_params["mpd"]}, wav_tgt, y_sg)
+                    msd_out = models.msd.apply({"params": d_params["msd"]}, wav_tgt, y_sg)
+                    return L.discriminator_adv_loss(mpd_out, msd_out)
+
                 d_params = {k: params[k] for k in d_keys}
-                d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
-                    d_params, params, extras, batch, starts, st_starts, k_g,
-                    sigma_data,
-                )
+                d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
                 params, opt_states = apply_module_updates(
                     params, opt_states, d_grads, txs, d_keys
                 )
                 metrics["d_loss"] = d_loss
 
-            g_params = {k: params[k] for k in g_keys}
-            (g_loss, (g_metrics, aux)), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True
-            )(g_params, params, extras, batch, starts, st_starts, k_g,
-              sigma_data, coins["num_steps"])
+                # --- generator adversarial term against the updated Ds
+                def adv_fn(y):
+                    mpd_out = models.mpd.apply({"params": sg(params["mpd"])}, wav_tgt, y)
+                    msd_out = models.msd.apply({"params": sg(params["msd"])}, wav_tgt, y)
+                    return L.generator_adv_loss(mpd_out, msd_out)
+
+                loss_gen, y_cot = jax.value_and_grad(adv_fn)(y_rec)
+                (g_grads,) = vjp_fn(
+                    (jnp.ones_like(partial_loss), lp.lambda_gen * y_cot)
+                )
+                g_metrics = dict(
+                    g_metrics,
+                    gen=loss_gen,
+                    g_loss=g_metrics["g_loss"] + lp.lambda_gen * loss_gen,
+                )
+            else:
+                (g_grads,) = vjp_fn(
+                    (jnp.ones_like(partial_loss), jnp.zeros_like(y_rec))
+                )
             params, opt_states = apply_module_updates(
                 params, opt_states, g_grads, txs, g_keys
             )
@@ -760,10 +739,15 @@ class Stage2Trainer:
             p, extras, bdict, jnp.asarray(float(self.state.sigma_data)), key
         )
         total = int(np.asarray(pred_dur).sum())
-        wav = self._artifact_sample_b_fn(total)(
+        # bucket the data-dependent frame total to a 100-frame grid (as
+        # inference.py's _bucket does) so sampled durations don't compile a
+        # fresh executable every epoch; trim the decoded wav back to the
+        # realized length (600 samples/frame at the predictor frame rate)
+        bucket = max(100, -(-total // 100) * 100)
+        wav = self._artifact_sample_b_fn(bucket)(
             p, t_en, d, s, ref, pred_dur, jax.random.fold_in(key, 3)
         )
-        audio["sampled_0"] = np.asarray(wav[0])
+        audio["sampled_0"] = np.asarray(wav[0])[: total * 600]
         audio["gt_0"] = np.asarray(
             batch.waves[0][: int(batch.wave_lengths[0])]
         )
