@@ -31,8 +31,11 @@ from styletts2_tpu.observability import MetricsWriter, StepTimer, get_logger
 from styletts2_tpu.train.state import (
     TrainState,
     build_module_optimizers,
+    find_latest_checkpoint,
     load_checkpoint,
     save_checkpoint,
+    save_checkpoint_async,
+    wait_for_saves,
 )
 
 MODULE_KEYS = [
@@ -161,30 +164,44 @@ def run_stage(stage: str, config_path: str, max_steps: int | None = None):
     mesh = _auto_mesh(cfg, logger)
 
     if stage == "first":
+        ckpt_fmt = "epoch_1st_{:05d}.ckpt"
+    elif stage == "second":
+        ckpt_fmt = "epoch_2nd_{:05d}.ckpt"
+    else:
+        ckpt_fmt = "epoch_ft_{:05d}.ckpt"
+
+    # auto-resume: a crashed run restarts from the latest epoch checkpoint
+    # of ITS OWN stage without any flags (SURVEY.md §5 recovery target;
+    # upgrades the reference's explicit-path-only resume, models.py:696-713)
+    latest = find_latest_checkpoint(log_dir, ckpt_fmt.split("{")[0])
+    if latest is not None:
+        state = load_checkpoint(latest, state)
+        logger.info(f"auto-resuming from {latest} (epoch {state.epoch})")
+
+    if stage == "first":
         from styletts2_tpu.train.stage1 import Stage1Trainer
 
         trainer = Stage1Trainer(cfg, models, state, mesh=mesh)
         epochs = cfg.epochs_1st
-        ckpt_fmt = "epoch_1st_{:05d}.ckpt"
     elif stage == "second":
         from styletts2_tpu.train.stage2 import Stage2Trainer
 
         first_path = os.path.join(log_dir, cfg.first_stage_path)
-        if os.path.exists(first_path):
+        if latest is None and os.path.exists(first_path):
             state = _load_first_stage(state, first_path, logger)
         trainer = Stage2Trainer(cfg, models, state, mesh=mesh)
         epochs = cfg.epochs_2nd
-        ckpt_fmt = "epoch_2nd_{:05d}.ckpt"
     else:
         from styletts2_tpu.train.finetune import FinetuneTrainer
 
-        if cfg.pretrained_model and os.path.exists(cfg.pretrained_model):
+        if latest is None and cfg.pretrained_model and os.path.exists(
+            cfg.pretrained_model
+        ):
             state = load_checkpoint(
                 cfg.pretrained_model, state, load_only_params=cfg.load_only_params
             )
         trainer = FinetuneTrainer(cfg, models, state, mesh=mesh)
         epochs = cfg.epochs_2nd
-        ckpt_fmt = "epoch_ft_{:05d}.ckpt"
 
     rng = np.random.default_rng(1)
     timer = StepTimer()
@@ -248,7 +265,9 @@ def run_stage(stage: str, config_path: str, max_steps: int | None = None):
 
         trainer.state.epoch = epoch + 1
         if (epoch + 1) % cfg.save_freq == 0:
-            save_checkpoint(
+            # async: snapshot now, write on a background thread so the next
+            # epoch's steps aren't blocked on disk IO
+            save_checkpoint_async(
                 os.path.join(log_dir, ckpt_fmt.format(epoch + 1)), trainer.state
             )
         if max_steps and iters >= max_steps:
@@ -268,6 +287,7 @@ def run_stage(stage: str, config_path: str, max_steps: int | None = None):
         with open(cpath, "w") as f:
             yaml.safe_dump(raw, f)
         save_checkpoint(os.path.join(log_dir, f"{stage}_final.ckpt"), trainer.state)
+    wait_for_saves()
     writer.close()
     return trainer.state
 

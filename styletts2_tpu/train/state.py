@@ -90,8 +90,9 @@ def apply_module_updates(state_params, opt_states, grads, txs, step_keys):
     return new_params, new_opt
 
 
-def save_checkpoint(path: str, state: TrainState, extra_meta: Optional[dict] = None):
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+def _snapshot_payload(state: TrainState, extra_meta: Optional[dict]) -> dict:
+    """Device→host snapshot of the full train state (the only part that must
+    happen synchronously for an async save to be consistent)."""
     payload = {
         "net": serialization.to_state_dict(state.params),
         "extras": serialization.to_state_dict(state.extras),
@@ -103,8 +104,81 @@ def save_checkpoint(path: str, state: TrainState, extra_meta: Optional[dict] = N
         "sigma_data": state.sigma_data,
         "meta": extra_meta or {},
     }
-    with open(path, "wb") as f:
-        pickle.dump(jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, payload), f)
+    return jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, payload
+    )
+
+
+def _write_payload(path: str, payload: dict):
+    """Atomic write: tmp file + rename, so a crash mid-save never leaves a
+    truncated checkpoint where auto-resume would find it."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def save_checkpoint(path: str, state: TrainState, extra_meta: Optional[dict] = None):
+    _write_payload(path, _snapshot_payload(state, extra_meta))
+
+
+_save_executor = None
+_pending_saves: list = []
+
+
+def save_checkpoint_async(path: str, state: TrainState,
+                          extra_meta: Optional[dict] = None):
+    """Orbax-style async save (SURVEY.md §5): snapshot to host numpy now
+    (cheap device→host copies), serialize + write on a background thread so
+    training never stalls on disk. Call wait_for_saves() before relying on
+    the file (the drivers do at stage end)."""
+    global _save_executor
+    if _save_executor is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _save_executor = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="ckpt_save")
+    payload = _snapshot_payload(state, extra_meta)
+    fut = _save_executor.submit(_write_payload, path, payload)
+    _pending_saves.append((path, fut))
+    # opportunistically surface completed-save failures
+    for p, f in list(_pending_saves):
+        if f.done():
+            _pending_saves.remove((p, f))
+            exc = f.exception()
+            if exc is not None:
+                import logging
+
+                logging.getLogger("styletts2_tpu").error(
+                    "async checkpoint save to %s failed: %s", p, exc
+                )
+    return fut
+
+
+def wait_for_saves():
+    """Block until all async checkpoint writes have landed; re-raise the
+    first failure."""
+    while _pending_saves:
+        p, f = _pending_saves.pop(0)
+        f.result()
+
+
+def find_latest_checkpoint(log_dir: str, prefix: str) -> Optional[str]:
+    """Auto-resume support: newest `{prefix}NNNNN.ckpt` in log_dir by epoch
+    number (SURVEY.md §5 failure-recovery target — a crashed run restarts
+    from the latest epoch without flags)."""
+    import re
+
+    if not os.path.isdir(log_dir):
+        return None
+    best, best_n = None, -1
+    pat = re.compile(re.escape(prefix) + r"(\d+)\.ckpt$")
+    for name in os.listdir(log_dir):
+        m = pat.match(name)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = name, int(m.group(1))
+    return os.path.join(log_dir, best) if best else None
 
 
 def load_checkpoint(

@@ -9,8 +9,11 @@ import optax
 from styletts2_tpu.train.state import (
     TrainState,
     apply_module_updates,
+    find_latest_checkpoint,
     load_checkpoint,
     save_checkpoint,
+    save_checkpoint_async,
+    wait_for_saves,
 )
 
 
@@ -47,6 +50,26 @@ def test_checkpoint_ignore_modules(tmp_path):
     # decoder skipped, predictor loaded
     np.testing.assert_allclose(np.asarray(st2.params["decoder"]["w"]), 1.0)
     assert st2.step == 0
+
+
+def test_async_save_and_auto_resume_scan(tmp_path):
+    """Async saves land atomically; find_latest_checkpoint picks the highest
+    epoch and ignores tmp/partial files (SURVEY.md §5 recovery target)."""
+    st = make_state()
+    st.epoch = 2
+    save_checkpoint_async(str(tmp_path / "epoch_1st_00002.ckpt"), st)
+    st.epoch = 5
+    st.params["predictor"]["w"] = jnp.full((3,), 7.0)
+    save_checkpoint_async(str(tmp_path / "epoch_1st_00005.ckpt"), st)
+    (tmp_path / "epoch_1st_00009.ckpt.tmp").write_bytes(b"partial")
+    wait_for_saves()
+
+    latest = find_latest_checkpoint(str(tmp_path), "epoch_1st_")
+    assert latest is not None and latest.endswith("epoch_1st_00005.ckpt")
+    st2 = load_checkpoint(latest, make_state())
+    assert st2.epoch == 5
+    np.testing.assert_allclose(np.asarray(st2.params["predictor"]["w"]), 7.0)
+    assert find_latest_checkpoint(str(tmp_path / "nope"), "epoch_1st_") is None
 
 
 def test_selective_module_updates():
