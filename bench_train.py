@@ -5,7 +5,7 @@ Usage:
     python bench_train.py [--stage first|second] [--devices N] [--batch B]
                           [--full-size] [--steps N]
 
-Defaults to the shrunk-width full-structure config (parallel/dryrun.py) on
+Defaults to the shrunk-width full-structure config (parallel/tiny.py) on
 the current backend; --devices >1 builds the dp×tp mesh (virtual CPU devices
 when the host platform is forced). The reference's recipe for comparison:
 LJSpeech stage-1+2 ≈ 2.5 days on 4×A100 (reference README.md:82); results
@@ -39,7 +39,7 @@ def main():
         )
 
     from styletts2_tpu.config import Config
-    from styletts2_tpu.parallel.dryrun import (
+    from styletts2_tpu.parallel.tiny import (
         synthetic_batch,
         tiny_config,
         tiny_training_setup,

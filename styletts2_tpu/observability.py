@@ -56,6 +56,8 @@ class MetricsWriter:
             for k, v in tag_values.items():
                 self.tb.add_scalar(k, float(v), step)
 
+    _audio_write_warned = False
+
     def audio(self, tag: str, wav, step: int, sr: int = 24000):
         import numpy as np
 
@@ -73,8 +75,15 @@ class MetricsWriter:
                 os.path.join(adir, f"{safe}_step{step}.wav"),
                 wav.astype(np.float32).ravel(), sr,
             )
-        except Exception:
-            pass
+        except Exception as e:
+            # a persistent failure (full disk, bad path) must not be silent —
+            # warn once so the promised on-disk copy's absence is explained
+            if not MetricsWriter._audio_write_warned:
+                MetricsWriter._audio_write_warned = True
+                logging.getLogger("styletts2_tpu").warning(
+                    "eval-audio write to disk failed (%s: %s); further "
+                    "failures will be silent", type(e).__name__, e,
+                )
 
     def figure_attention(self, tag: str, attn, step: int):
         if self.tb is not None:

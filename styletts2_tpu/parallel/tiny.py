@@ -1,0 +1,87 @@
+"""Shrunk-width full-structure training setups for CI / dry runs / benches.
+
+Side-effect free (no platform forcing, no XLA flag mutation) — safe to import
+from bench_train.py on a TPU host. The platform-forcing code lives only in
+`parallel.dryrun` / the `__graft_entry__` subprocess path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from styletts2_tpu.config import Config
+
+
+def tiny_config() -> Config:
+    """Full training-step STRUCTURE at tiny widths; every module, loss and
+    sharding of the real steps is exercised (layer counts + loss graph are
+    production-shaped, channel widths shrunk for 1-core CI). PL-BERT keeps
+    its ≥1024-wide FFN so the tensor-parallel ('model') layout rule actually
+    engages."""
+    cfg = Config()
+    cfg.plbert_params.num_hidden_layers = 1
+    cfg.plbert_params.hidden_size = 128
+    cfg.plbert_params.intermediate_size = 1536
+    cfg.plbert_params.num_attention_heads = 4
+    cfg.plbert_params.embedding_size = 64
+    cfg.model_params.hidden_dim = 128
+    cfg.model_params.max_conv_dim = 128
+    cfg.model_params.style_dim = 64
+    cfg.model_params.dim_in = 32
+    cfg.model_params.diffusion.transformer.num_layers = 1
+    cfg.model_params.decoder.upsample_initial_channel = 128
+    cfg.max_len = 80
+    cfg.slmadv_params.min_len = 80
+    cfg.slmadv_params.max_len = 120
+    cfg.model_params.slm.hidden = 64
+    cfg.model_params.slm.nlayers = 3
+    return cfg
+
+
+def tiny_training_setup(cfg: Config, stage2: bool = False):
+    """(models, state) with a shrunk frozen WavLM, mirroring the unit-test
+    configuration so dryrun evidence covers the same compiled programs."""
+    import jax
+
+    from styletts2_tpu.models.build import build_training_models, init_training_params
+    from styletts2_tpu.models.wavlm import WavLM
+    from styletts2_tpu.train.run import MODULE_KEYS
+    from styletts2_tpu.train.state import TrainState, build_module_optimizers
+
+    models = build_training_models(cfg)
+    models = dataclasses.replace(
+        models, wavlm=WavLM(hidden=64, heads=2, intermediate=96, num_layers=2)
+    )
+    variables = init_training_params(models, jax.random.PRNGKey(0), cfg)
+    txs = build_module_optimizers(cfg, MODULE_KEYS, stage2=stage2)
+    state = TrainState.create(variables, txs)
+    return models, state
+
+
+def synthetic_batch(rng, B: int, wav_len: int = 27000, bucket: int = 48000,
+                    T_text: int = 12):
+    """Random batch in the dataloader's Batch layout (data/meldataset.py)."""
+    from styletts2_tpu.data.meldataset import Batch
+
+    waves = np.zeros((B, bucket), np.float32)
+    wave_lengths = np.zeros(B, np.int32)
+    mel_lengths = np.zeros(B, np.int32)
+    for b in range(B):
+        n = wav_len + b * 1500
+        waves[b, :n] = rng.standard_normal(n).astype(np.float32) * 0.1
+        wave_lengths[b] = n
+        ml = n // 300 + 1
+        mel_lengths[b] = ml - ml % 2
+    tokens = np.zeros((B, 32), np.int32)
+    tokens[:, :T_text] = rng.integers(4, 178, (B, T_text))
+    input_lengths = np.full(B, T_text, np.int32)
+    return Batch(
+        waves=waves, wave_lengths=wave_lengths, tokens=tokens,
+        input_lengths=input_lengths, ref_tokens=tokens,
+        ref_lengths=input_lengths, mel_lengths=mel_lengths,
+        ref_waves=waves[:, :24000].copy(),
+        ref_wave_lengths=np.full(B, 24000, np.int32),
+        speakers=np.zeros(B, np.int32),
+    )
