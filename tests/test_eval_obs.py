@@ -23,6 +23,32 @@ def test_mcd_dtw_handles_length_mismatch(rng):
     assert np.isfinite(v)
 
 
+def test_dtw_native_matches_numpy_fallback(rng):
+    """Native C++ DTW (native/dtw.cpp) returns the same optimal path cost as
+    the numpy DP, on sequences long enough to be unusable for the old
+    pure-Python loop; banded mode stays close to unbanded."""
+    from styletts2_tpu.eval import _dtw_path, _dtw_path_numpy, _load_dtw_native
+
+    a = rng.standard_normal((400, 12)).astype(np.float32)
+    b = np.repeat(a, 2, axis=0)[::3][:260] + 0.01 * rng.standard_normal(
+        (260, 12)
+    ).astype(np.float32)
+    dist = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+
+    ia, ib = _dtw_path(a, b)
+    assert (np.diff(ia) >= 0).all() and (np.diff(ib) >= 0).all()
+    assert ia[0] == 0 and ib[0] == 0 and ia[-1] == len(a) - 1 and ib[-1] == len(b) - 1
+    cost = dist[ia, ib].sum()
+
+    ja, jb = _dtw_path_numpy(dist)
+    ref_cost = dist[ja, jb].sum()
+    np.testing.assert_allclose(cost, ref_cost, rtol=1e-5)
+
+    if _load_dtw_native() is not None:
+        ba, bb = _dtw_path(a, b, band=80)
+        assert dist[ba, bb].sum() <= ref_cost * 1.05  # band barely hurts
+
+
 def test_f0_metrics():
     a = np.asarray([0.0, 120.0, 130.0, 0.0, 140.0])
     b = np.asarray([0.0, 125.0, 130.0, 5.0, 150.0])
