@@ -55,6 +55,8 @@ def setup(config_path: str, stage: str):
 
     train_loader = build_dataloader(
         cfg.data_params.train_data, cfg.data_params.root_path,
+        shard_across_processes=True,  # no-op single-host; disjoint per-host
+        # slices on pod slices (SURVEY.md §7.1)
         ood_path=cfg.data_params.OOD_data, min_length=cfg.data_params.min_length,
         batch_size=cfg.batch_size, validation=False,
     )
@@ -113,7 +115,21 @@ def setup(config_path: str, stage: str):
     try:
         from transformers import WavLMModel
 
-        ref = WavLMModel.from_pretrained(cfg.model_params.slm.model)
+        try:  # cached weights load instantly and need no network
+            ref = WavLMModel.from_pretrained(
+                cfg.model_params.slm.model, local_files_only=True
+            )
+        except Exception:
+            # only hit the hub if DNS resolves quickly — an airgapped host
+            # otherwise burns ~70 s in HTTP retries before falling back
+            import socket
+
+            socket.setdefaulttimeout(3.0)
+            try:
+                socket.getaddrinfo("huggingface.co", 443)
+            finally:
+                socket.setdefaulttimeout(None)
+            ref = WavLMModel.from_pretrained(cfg.model_params.slm.model)
         variables["wavlm"] = convert.convert_wavlm(
             {k: v.numpy() for k, v in ref.state_dict().items()}
         )

@@ -90,12 +90,23 @@ def apply_module_updates(state_params, opt_states, grads, txs, step_keys):
     return new_params, new_opt
 
 
+FROZEN_MODULES = ("wavlm",)  # never checkpointed: the reference reloads the
+# frozen SLM from the HF hub every run (models.py:583-589 load path has no
+# wavlm entry) and its random/pretrained params add ~1.2 GB per epoch file
+
+
 def _snapshot_payload(state: TrainState, extra_meta: Optional[dict]) -> dict:
     """Device→host snapshot of the full train state (the only part that must
-    happen synchronously for an async save to be consistent)."""
+    happen synchronously for an async save to be consistent). Frozen modules
+    (FROZEN_MODULES) are dropped — load_checkpoint keeps the live copy for
+    any module absent from the payload."""
     payload = {
-        "net": serialization.to_state_dict(state.params),
-        "extras": serialization.to_state_dict(state.extras),
+        "net": serialization.to_state_dict(
+            {k: v for k, v in state.params.items() if k not in FROZEN_MODULES}
+        ),
+        "extras": serialization.to_state_dict(
+            {k: v for k, v in state.extras.items() if k not in FROZEN_MODULES}
+        ),
         "opt": serialization.to_state_dict(
             jax.tree.map(lambda x: np.asarray(x), state.opt_states)
         ),

@@ -72,6 +72,27 @@ def test_async_save_and_auto_resume_scan(tmp_path):
     assert find_latest_checkpoint(str(tmp_path / "nope"), "epoch_1st_") is None
 
 
+def test_frozen_wavlm_not_checkpointed(tmp_path):
+    """Frozen SLM params are never serialized (the reference reloads WavLM
+    from the HF hub every run; saving it adds ~1.2 GB per epoch file), and
+    load keeps the live copy for modules absent from the payload."""
+    import pickle
+
+    st = make_state()
+    st.params["wavlm"] = {"w": jnp.full((2,), 5.0)}
+    p = str(tmp_path / "ck.ckpt")
+    save_checkpoint(p, st)
+    with open(p, "rb") as f:
+        payload = pickle.load(f)
+    assert "wavlm" not in payload["net"]
+
+    st2 = make_state()
+    st2.params["wavlm"] = {"w": jnp.full((2,), 7.0)}
+    st2 = load_checkpoint(p, st2)
+    np.testing.assert_allclose(np.asarray(st2.params["wavlm"]["w"]), 7.0)
+    np.testing.assert_allclose(np.asarray(st2.params["predictor"]["w"]), 2.0)
+
+
 def test_selective_module_updates():
     st = make_state()
     grads = {
