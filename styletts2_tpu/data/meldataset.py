@@ -320,9 +320,23 @@ def build_dataloader(
     batch_size: int = 16,
     validation: bool = False,
     seed: int = 1,
+    shard_across_processes: bool = False,
 ) -> DataLoader:
-    """Reference build_dataloader equivalent (meldataset.py:233-254)."""
+    """Reference build_dataloader equivalent (meldataset.py:233-254).
+
+    shard_across_processes=True gives each JAX process a disjoint slice of
+    the TRAINING list (multi-host pod slices, SURVEY.md §7.1); the global
+    batch is then assembled from per-host shards by
+    parallel.mesh.place_batch. Validation stays unsharded (every host sees
+    the same eval set)."""
     data = load_data_list(path_list)
+    if shard_across_processes and not validation:
+        import jax
+
+        if jax.process_count() > 1:
+            from styletts2_tpu.parallel.mesh import process_shard
+
+            data = data[process_shard(len(data))]
     ood_texts = None
     if ood_path and os.path.exists(ood_path):
         with open(ood_path, encoding="utf-8", errors="ignore") as f:

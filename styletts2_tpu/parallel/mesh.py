@@ -85,8 +85,31 @@ def shard_train_state(state, mesh: Mesh):
 
 
 def place_batch(tree, mesh: Optional[Mesh]):
-    """Shard per-sample arrays over the 'data' axis (host numpy → device)."""
+    """Shard per-sample arrays over the 'data' axis (host numpy → device).
+
+    Single-host: a plain sharded device_put. Multi-host (pod slices,
+    SURVEY.md §7.1): each process holds only ITS batch shard on the host —
+    `jax.make_array_from_process_local_data` assembles the logical global
+    array from the per-process pieces without any cross-host gather of the
+    raw data (each host feeds its local devices; the GLOBAL batch dim is
+    process_count × local batch)."""
     if mesh is None:
         return tree
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def process_shard(n_items: int) -> slice:
+    """This process's contiguous slice of a dataset/file list (per-host data
+    sharding for multi-host training; every host must see a DIFFERENT slice
+    so the global batch is disjoint). Deterministic in process_index, covers
+    all items across processes, balanced to ±1."""
+    pc, pi = jax.process_count(), jax.process_index()
+    base, rem = divmod(n_items, pc)
+    start = pi * base + min(pi, rem)
+    return slice(start, start + base + (1 if pi < rem else 0))

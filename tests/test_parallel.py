@@ -116,3 +116,33 @@ def test_shard_params_uneven_dims_replicate():
     # 2050 % 2 == 0 → sharded; small → replicated
     assert "model" in str(placed["a"].sharding.spec)
     assert placed["b"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_process_shard_partitions_disjoint_and_complete(monkeypatch):
+    """Per-host data sharding (SURVEY.md §7.1): the process slices cover the
+    list exactly once, balanced to ±1, for any process count."""
+    import jax as _jax
+
+    from styletts2_tpu.parallel.mesh import process_shard
+
+    for pc in (1, 2, 3, 4, 8):
+        monkeypatch.setattr(_jax, "process_count", lambda: pc)
+        seen = []
+        sizes = []
+        for pi in range(pc):
+            monkeypatch.setattr(_jax, "process_index", lambda pi=pi: pi)
+            sl = process_shard(103)
+            seen.extend(range(103)[sl])
+            sizes.append(len(range(103)[sl]))
+        assert sorted(seen) == list(range(103)), pc
+        assert max(sizes) - min(sizes) <= 1, pc
+
+
+def test_place_batch_single_process_matches_device_put():
+    from styletts2_tpu.parallel.mesh import place_batch
+
+    mesh = make_mesh(8, model_parallel=2)
+    tree = {"x": np.arange(32, dtype=np.float32).reshape(8, 4)}
+    placed = place_batch(tree, mesh)
+    assert placed["x"].sharding.spec == jax.sharding.PartitionSpec("data")
+    np.testing.assert_array_equal(np.asarray(placed["x"]), tree["x"])
