@@ -56,10 +56,13 @@ from styletts2_tpu.parallel.tiny import (  # noqa: F401 (re-exported API)
 def run_dryrun(n_devices: int) -> None:
     # NOTE: the persistent compile cache must stay DISABLED here. Reloading
     # AOT-cached multi-device CPU executables deadlocks XLA's in-process
-    # collective rendezvous (only 1 of N participants launches; terminate
-    # timeout kills the process) — measured in round 2: cold compiles of the
-    # same programs execute fine, cache-loaded ones hang. Single-device
-    # programs reload fine, so tests/conftest.py keeps the cache on.
+    # collective rendezvous — re-confirmed on jax 0.9.0 this round: the
+    # warm stage-1 reload loads its AOT results (cpu_aot_loader logs) then
+    # hangs in the step with no participant progress, while toy GSPMD /
+    # shard_map psum programs (1D and 4×2 subgroup meshes) reload cleanly —
+    # the failure needs the full trainer graph. Cold compiles of the same
+    # programs execute fine; single-device programs reload fine, so
+    # tests/conftest.py keeps the cache on.
     try:
         jax.config.update("jax_compilation_cache_dir", None)
     except Exception:
