@@ -189,6 +189,13 @@ class Config:
     pretrained_model: str = ""
     second_stage_load_pretrained: bool = True
     load_only_params: bool = False
+    # '' (full f32) | 'bf16': bf16 activations/compute in the FLOP-heavy
+    # modules (decoder, discriminators, WavLM, style encoders) with f32
+    # master weights + optimizer state and f32 losses — the TPU analog of
+    # the reference's fp16 accelerate finetune driver
+    # (train_finetune_accelerate.py:33-35). bf16 shares f32's exponent
+    # range, so no GradScaler is needed.
+    mixed_precision: str = ""
 
     F0_path: str = "Utils/JDC/bst.t7"
     ASR_config: str = "Utils/ASR/config.yml"

@@ -73,7 +73,7 @@ def convert_wavlm(sd: Dict[str, Any], num_layers: int = 12) -> Dict[str, Any]:
     }
     p["encoder_ln"] = ln(sd, "encoder.layer_norm")
 
-    for i in range(num_layers):
+    def one_layer(i):
         b = f"encoder.layers.{i}"
         att = {
             "q_proj": lin(sd, f"{b}.attention.q_proj"),
@@ -85,12 +85,23 @@ def convert_wavlm(sd: Dict[str, Any], num_layers: int = 12) -> Dict[str, Any]:
         }
         if i == 0:
             att["rel_attn_embed"] = t(sd[f"{b}.attention.rel_attn_embed.weight"])
-        p[f"layer_{i}"] = {
+        return {
             "attention": att,
             "layer_norm": ln(sd, f"{b}.layer_norm"),
             "final_layer_norm": ln(sd, f"{b}.final_layer_norm"),
             "ff_in": lin(sd, f"{b}.feed_forward.intermediate_dense"),
             "ff_out": lin(sd, f"{b}.feed_forward.output_dense"),
+        }
+
+    # layer 0 stands alone (rel-pos embed); layers 1..N-1 are STACKED along
+    # a leading axis for the model's nn.scan body (models/wavlm.py)
+    p["layer_0"] = one_layer(0)
+    rest = [one_layer(i) for i in range(1, num_layers)]
+    if rest:
+        import jax
+
+        p["layers"] = {
+            "layer": jax.tree.map(lambda *xs: np.stack(xs, axis=0), *rest)
         }
     return {"params": p}
 

@@ -26,6 +26,19 @@ from styletts2_tpu.ops.stft import MEL_MEAN, MEL_STD, melspectrogram
 MRSTFT_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
 
 
+def _f32(t):
+    """Upcast to f32 at loss entry: under bf16 mixed precision (train/mp.py)
+    network outputs arrive bf16 and every loss reduction must accumulate in
+    f32. A no-op for f32 inputs (lax.convert_element_type short-circuits), so
+    the full-precision path's HLO is unchanged."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+        else x,
+        t,
+    )
+
+
 def _log_norm_mel(wav, n_fft, hop, win):
     mel = melspectrogram(
         wav, n_fft=n_fft, win_length=win, hop_length=hop, n_mels=80,
@@ -37,6 +50,7 @@ def _log_norm_mel(wav, n_fft, hop, win):
 def multires_stft_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Mean over resolutions of mel spectral convergence (losses.py:58-94).
     x: predicted wav (B, T); y: target wav (B, T)."""
+    x, y = _f32(x), _f32(y)
     total = 0.0
     for n_fft, hop, win in MRSTFT_RESOLUTIONS:
         xm = _log_norm_mel(x, n_fft, hop, win)
@@ -99,8 +113,8 @@ def tprls_loss(first_outputs, second_outputs, tau: float = 0.04) -> jnp.ndarray:
 def generator_adv_loss(mpd_out, msd_out) -> jnp.ndarray:
     """GeneratorLoss aggregation (losses.py:149-168). Each *_out is the
     (real, gen, fmap_r, fmap_g) tuple from a discriminator module."""
-    y_df_r, y_df_g, fmap_f_r, fmap_f_g = mpd_out
-    y_ds_r, y_ds_g, fmap_s_r, fmap_s_g = msd_out
+    y_df_r, y_df_g, fmap_f_r, fmap_f_g = _f32(mpd_out)
+    y_ds_r, y_ds_g, fmap_s_r, fmap_s_g = _f32(msd_out)
     loss = (
         lsgan_g_loss(y_df_g)
         + lsgan_g_loss(y_ds_g)
@@ -114,8 +128,8 @@ def generator_adv_loss(mpd_out, msd_out) -> jnp.ndarray:
 
 def discriminator_adv_loss(mpd_out, msd_out) -> jnp.ndarray:
     """DiscriminatorLoss aggregation (losses.py:170-190)."""
-    y_df_r, y_df_g, _, _ = mpd_out
-    y_ds_r, y_ds_g, _, _ = msd_out
+    y_df_r, y_df_g, _, _ = _f32(mpd_out)
+    y_ds_r, y_ds_g, _, _ = _f32(msd_out)
     loss = (
         lsgan_d_loss(y_df_r, y_df_g)
         + lsgan_d_loss(y_ds_r, y_ds_g)
@@ -134,7 +148,7 @@ def discriminator_adv_loss(mpd_out, msd_out) -> jnp.ndarray:
 def wavlm_feature_loss(wav_states: Sequence, rec_states: Sequence) -> jnp.ndarray:
     """L1 feature matching over all hidden states (losses.py:201-212)."""
     loss = 0.0
-    for er, eg in zip(wav_states, rec_states):
+    for er, eg in zip(_f32(list(wav_states)), _f32(list(rec_states))):
         loss = loss + jnp.mean(jnp.abs(jax.lax.stop_gradient(er) - eg))
     return loss
 
@@ -146,15 +160,15 @@ def stack_wavlm_states(states: Sequence) -> jnp.ndarray:
 
 
 def wavlm_generator_loss(wd_apply: Callable, rec_states: Sequence) -> jnp.ndarray:
-    d_g = wd_apply(stack_wavlm_states(rec_states))
+    d_g = _f32(wd_apply(stack_wavlm_states(rec_states)))
     return jnp.mean((1.0 - d_g) ** 2)
 
 
 def wavlm_discriminator_loss(
     wd_apply: Callable, wav_states: Sequence, rec_states: Sequence
 ) -> jnp.ndarray:
-    d_r = wd_apply(jax.lax.stop_gradient(stack_wavlm_states(wav_states)))
-    d_g = wd_apply(jax.lax.stop_gradient(stack_wavlm_states(rec_states)))
+    d_r = _f32(wd_apply(jax.lax.stop_gradient(stack_wavlm_states(wav_states))))
+    d_g = _f32(wd_apply(jax.lax.stop_gradient(stack_wavlm_states(rec_states))))
     return jnp.mean((1.0 - d_r) ** 2) + jnp.mean(d_g ** 2)
 
 
@@ -193,5 +207,5 @@ def duration_l1_loss(dur_pred_sum, durations, lengths) -> jnp.ndarray:
 
 
 def smooth_l1(x, y, beta: float = 1.0) -> jnp.ndarray:
-    d = jnp.abs(x - y)
+    d = jnp.abs(_f32(x) - _f32(y))
     return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))

@@ -44,7 +44,9 @@ class WNConv2d(nn.Module):
         w = v / norm * g[None, None, None, :]
         b = self.param("bias", uniform_centered(bound), (self.features,))
         y = jax.lax.conv_general_dilated(
-            x, w, self.stride,
+            # weight dtype = compute dtype (bf16 mixed precision: the MRSD
+            # spectrogram arrives f32 from the complex STFT magnitude)
+            x.astype(w.dtype), w, self.stride,
             [(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )

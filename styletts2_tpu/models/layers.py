@@ -55,9 +55,12 @@ def snake(x, alpha):
 
 
 def _conv1d(x, w, stride=1, padding=0, dilation=1, groups=1):
-    """x: (B, T, Cin), w: (K, Cin/groups, Cout) -> (B, T', Cout)."""
+    """x: (B, T, Cin), w: (K, Cin/groups, Cout) -> (B, T', Cout).
+
+    Computes in the WEIGHT dtype (raw lax.conv does not promote): under bf16
+    mixed precision an f32 activation meeting a bf16 kernel runs bf16."""
     return jax.lax.conv_general_dilated(
-        x,
+        x.astype(w.dtype),
         w,
         window_strides=(stride,),
         padding=[(padding, padding)],
@@ -78,7 +81,7 @@ def _conv1d_transpose(x, w, stride=2, padding=1, output_padding=1, groups=1):
     pad_l = K - 1 - padding
     pad_r = K - 1 - padding + output_padding
     return jax.lax.conv_general_dilated(
-        x,
+        x.astype(w.dtype),
         jnp.flip(w, axis=0),
         window_strides=(1,),
         padding=[(pad_l, pad_r)],
@@ -224,19 +227,23 @@ class SNConv2d(nn.Module):
             "spectral", "v", lambda: jax.random.normal(jax.random.fold_in(rng0, 1), (rest,))
         )
         u, v = u_var.value, v_var.value
+        # f32 island: the power iteration + sigma accumulate in f32 even on
+        # the bf16 mixed-precision path (train/mp.py) — u/v persist f32 in
+        # the 'spectral' collection and sigma rejoins the compute dtype
+        w_mat32 = w_mat.astype(jnp.float32)
         if update_stats:
-            v = w_mat.T @ u
+            v = w_mat32.T @ u
             v = v / (jnp.linalg.norm(v) + 1e-12)
-            u = w_mat @ v
+            u = w_mat32 @ v
             u = u / (jnp.linalg.norm(u) + 1e-12)
             u = jax.lax.stop_gradient(u)
             v = jax.lax.stop_gradient(v)
             u_var.value = u
             v_var.value = v
-        sigma = u @ (w_mat @ v)
-        w_sn = w / sigma
+        sigma = u @ (w_mat32 @ v)
+        w_sn = w / sigma.astype(w.dtype)
         y = jax.lax.conv_general_dilated(
-            x,
+            x.astype(w_sn.dtype),
             w_sn,
             window_strides=self.stride,
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],

@@ -108,6 +108,24 @@ class WavLMEncoderLayer(nn.Module):
         return x, position_bias
 
 
+class _LayerStep(nn.Module):
+    """scan body: carry (x, position_bias) through one rel-embed-free
+    encoder layer; emits the layer output for the hidden-state stack."""
+
+    hidden: int
+    heads: int
+    intermediate: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, pb = carry
+        x, pb = WavLMEncoderLayer(
+            self.hidden, self.heads, self.intermediate,
+            has_rel_embed=False, name="layer",
+        )(x, pb)
+        return (x, pb), x
+
+
 class WavLM(nn.Module):
     """16 kHz wav (B, T) -> list of 13 hidden states (B, frames, 768)."""
 
@@ -144,12 +162,25 @@ class WavLM(nn.Module):
 
         states = [x]
         position_bias = None
-        for i in range(self.num_layers):
-            x, position_bias = WavLMEncoderLayer(
-                self.hidden, self.heads, self.intermediate,
-                has_rel_embed=(i == 0), name=f"layer_{i}",
-            )(x, position_bias)
-            states.append(x)
+        # layer 0 owns the gated rel-pos bias; layers 1..N-1 share structure
+        # and run as ONE lax.scan body over stacked params (12× fewer HLO
+        # ops per apply — the trainers apply WavLM up to 7×/step)
+        x, position_bias = WavLMEncoderLayer(
+            self.hidden, self.heads, self.intermediate,
+            has_rel_embed=True, name="layer_0",
+        )(x, position_bias)
+        states.append(x)
+        if self.num_layers > 1:
+            Scan = nn.scan(
+                _LayerStep,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.num_layers - 1,
+            )
+            (x, _), stack = Scan(
+                self.hidden, self.heads, self.intermediate, name="layers"
+            )((x, position_bias), None)
+            states.extend(stack[i] for i in range(self.num_layers - 1))
         return states
 
 
@@ -176,7 +207,8 @@ def resample_24k_to_16k(wav: jnp.ndarray) -> jnp.ndarray:
     B, T = wav.shape
     pad_l = width
     x = jnp.pad(wav, ((0, 0), (width, width + orig_freq)))[..., None]
-    w = jnp.asarray(kernels.T[:, None, :], jnp.float32)  # (K, 1, new_freq)
+    # sinc kernels join the wave's dtype (bf16-safe: raw conv won't promote)
+    w = jnp.asarray(kernels.T[:, None, :], jnp.float32).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(orig_freq,), padding=[(0, 0)],
         dimension_numbers=("NWC", "WIO", "NWC"),

@@ -31,6 +31,7 @@ from styletts2_tpu.models.build import TrainingModels
 from styletts2_tpu.ops.align import maximum_path
 from styletts2_tpu.ops.stft import log_norm, preprocess_mel
 from styletts2_tpu.models.wavlm import resample_24k_to_16k
+from styletts2_tpu.train.mp import cast_in, cast_module_params, cast_tree
 from styletts2_tpu.train.state import TrainState, apply_module_updates
 
 HOP = 300
@@ -90,6 +91,10 @@ class Stage1Trainer:
         self.models = models
         self.state = state
         self.multispeaker = cfg.model_params.multispeaker
+        # bf16 mixed precision (train/mp.py): bf16 compute in the FLOP-heavy
+        # modules, f32 master weights (the reference's fp16 accelerate
+        # analog, train_finetune_accelerate.py:33-35)
+        self.mp = getattr(cfg, "mixed_precision", "") == "bf16"
         self.mesh = mesh
         if mesh is not None:
             from styletts2_tpu.parallel.mesh import shard_train_state
@@ -122,6 +127,10 @@ class Stage1Trainer:
         # (train_first.py:209-213) without doubling compilations
         """Common forward to y_rec; returns (y_rec, wav_clip, aux)."""
         models = self.models
+        # bf16 compute in the heavy modules during training; the mel
+        # frontend, aligner and pitch extractor stay f32
+        mpa = self.mp and train
+        params = cast_module_params(params, mpa)
         mels = preprocess_mel(batch["waves"])  # (B, 80, F)
         mels = mels[:, :, : (mels.shape[-1] // 2) * 2]
         k_align, k_dec, k_noise = jax.random.split(key, 3)
@@ -154,10 +163,13 @@ class Stage1Trainer:
         style_in = st if self.multispeaker else gt
         s, se_mut = models.style_encoder.apply(
             {"params": params["style_encoder"], **extras.get("style_encoder", {})},
-            style_in, update_stats=train, mutable=["spectral"] if train else [],
+            cast_in(style_in, mpa), update_stats=train,
+            mutable=["spectral"] if train else [],
         )
+        se_mut = cast_tree(se_mut, jnp.float32)  # SN u vectors stored f32
         y_rec = models.decoder.apply(
-            {"params": params["decoder"]}, en, F0_real, real_norm, s,
+            {"params": params["decoder"]}, cast_in(en, mpa),
+            cast_in(F0_real, mpa), cast_in(real_norm, mpa), s,
             train=train, rngs={"noise": k_noise},
         )
         aux = {
@@ -206,9 +218,13 @@ class Stage1Trainer:
                 loss_mono = jnp.mean(jnp.abs(aux["s2s_attn"] - aux["mono"])) * 10.0
                 sg = jax.lax.stop_gradient
                 # WavLM feature-matching loss (losses.py:201-212)
-                wav16 = resample_24k_to_16k(wav_clip)
-                rec16 = resample_24k_to_16k(y_rec)
-                wl_params = {"params": sg(p.get("wavlm", params["wavlm"]))}
+                wav16 = cast_in(resample_24k_to_16k(wav_clip), self.mp)
+                rec16 = cast_in(resample_24k_to_16k(y_rec), self.mp)
+                wl_params = {
+                    "params": cast_module_params(
+                        {"wavlm": sg(p.get("wavlm", params["wavlm"]))}, self.mp
+                    )["wavlm"]
+                }
                 real_states = [
                     sg(h) for h in models.wavlm.apply(wl_params, wav16)
                 ]
@@ -238,11 +254,13 @@ class Stage1Trainer:
             # --- discriminator update first, on detached y_rec
             # (train_first.py:259-264)
             if tma:
-                y_sg = sg(y_rec)
+                y_sg = cast_in(sg(y_rec), self.mp)
+                wav_c = cast_in(wav_clip, self.mp)
 
                 def d_loss_fn(d_params):
-                    mpd_out = models.mpd.apply({"params": d_params["mpd"]}, wav_clip, y_sg)
-                    msd_out = models.msd.apply({"params": d_params["msd"]}, wav_clip, y_sg)
+                    dp = cast_module_params(d_params, self.mp)
+                    mpd_out = models.mpd.apply({"params": dp["mpd"]}, wav_c, y_sg)
+                    msd_out = models.msd.apply({"params": dp["msd"]}, wav_c, y_sg)
                     return L.discriminator_adv_loss(mpd_out, msd_out)
 
                 d_params = {k: params[k] for k in d_keys}
@@ -255,8 +273,13 @@ class Stage1Trainer:
             if tma:
 
                 def adv_fn(y):
-                    mpd_out = models.mpd.apply({"params": sg(params["mpd"])}, wav_clip, y)
-                    msd_out = models.msd.apply({"params": sg(params["msd"])}, wav_clip, y)
+                    dp = cast_module_params(
+                        {"mpd": sg(params["mpd"]), "msd": sg(params["msd"])},
+                        self.mp,
+                    )
+                    y = cast_in(y, self.mp)
+                    mpd_out = models.mpd.apply({"params": dp["mpd"]}, wav_c, y)
+                    msd_out = models.msd.apply({"params": dp["msd"]}, wav_c, y)
                     return L.generator_adv_loss(mpd_out, msd_out)
 
                 loss_gen, y_cot = jax.value_and_grad(adv_fn)(y_rec)
@@ -321,12 +344,16 @@ class Stage1Trainer:
             self.mesh,
         )
         key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
-        params, extras, opt_states, metrics = step(
+        step_args = (
             self.state.params, self.state.extras, self.state.opt_states,
             {k: bdict[k] for k in ("waves", "tokens", "input_lengths", "mel_lengths")},
             bdict["starts"], bdict["st_starts"], key,
             jnp.asarray(1 if use_mono else 0),
         )
+        # bench_train.py re-lowers the cached step with these to pull FLOPs
+        # from XLA's compiled-module cost analysis (MFU reporting)
+        self._last_step = (step, step_args)
+        params, extras, opt_states, metrics = step(*step_args)
         self.state.params = params
         self.state.extras = extras
         self.state.opt_states = opt_states

@@ -40,6 +40,7 @@ from styletts2_tpu.models.diffusion.sampler import (
 )
 from styletts2_tpu.models.wavlm import resample_24k_to_16k
 from styletts2_tpu.ops.stft import log_norm, preprocess_mel
+from styletts2_tpu.train.mp import cast_in, cast_module_params, cast_tree
 from styletts2_tpu.train.stage1 import aligner_pass, clip_slice
 from styletts2_tpu.train.state import TrainState, apply_module_updates
 
@@ -63,11 +64,20 @@ def soft_alignment(dur_logits, lengths, n_frames, sig=1.5):
     loc = jnp.cumsum(dur, axis=1) - dur / 2.0  # (B, T)
     total = jnp.round(jnp.sum(dur, axis=1)).astype(jnp.int32)  # (B,)
     j = jnp.arange(n_frames)[None, None, :]
-    out = jnp.zeros((B, T, n_frames), sg.dtype)
-    for n in range(D):
-        w = jnp.exp(-0.5 * jnp.square(loc[..., None] + n - 1 - j) / (sig ** 2))
+
+    # one scan body instead of D(=50) unrolled Gaussian terms — same
+    # sequential accumulation order (bit-identical), ~50× fewer HLO ops
+    def body(acc, nd):
+        n, dln = nd  # scalar step index, (B, T) logits at that step
+        w = jnp.exp(-0.5 * jnp.square(loc[..., None] + n - 1.0 - j) / (sig ** 2))
         w = jnp.where(n <= j, w, 0.0)
-        out = out + dur_logits[:, :, n : n + 1] * w
+        return acc + dln[..., None] * w, None
+
+    out, _ = jax.lax.scan(
+        body,
+        jnp.zeros((B, T, n_frames), sg.dtype),
+        (jnp.arange(D, dtype=sg.dtype), jnp.moveaxis(dur_logits, 2, 0)),
+    )
     # softmax over tokens, invalid tokens excluded
     out = jnp.where(valid_tok[..., None] > 0, out, -jnp.inf)
     attn = jax.nn.softmax(out, axis=1)
@@ -88,6 +98,10 @@ class Stage2Trainer:
         self.state = state
         self.multispeaker = cfg.model_params.multispeaker
         self.finetune = finetune
+        # bf16 mixed precision (train/mp.py): bf16 compute in the FLOP-heavy
+        # modules, f32 master weights (the reference's fp16 accelerate
+        # analog, train_finetune_accelerate.py:33-35)
+        self.mp = getattr(cfg, "mixed_precision", "") == "bf16"
         self.mesh = mesh
         if mesh is not None:
             from styletts2_tpu.parallel.mesh import shard_train_state
@@ -153,17 +167,26 @@ class Stage2Trainer:
 
             # full-utterance styles, batched masked pooling; one spectral-norm
             # power iteration here when update_stats (mutations → sn_mut)
+            mpa = self.mp and train
+            mels_c = cast_in(mels, mpa)
             mut = ["spectral"] if update_stats else []
             s_dur_full, pe_mut = models.predictor_encoder.apply(
-                mv(p, extras, "predictor_encoder"), mels,
+                mv(p, extras, "predictor_encoder"), mels_c,
                 lengths=batch["mel_lengths"], update_stats=update_stats,
                 mutable=mut,
             )
             gs_full, se_mut = models.style_encoder.apply(
-                mv(p, extras, "style_encoder"), mels,
+                mv(p, extras, "style_encoder"), mels_c,
                 lengths=batch["mel_lengths"], update_stats=update_stats,
                 mutable=mut,
             )
+            # style vectors re-enter the f32 sequence stack (predictor,
+            # diffusion) — upcast at the bf16 module boundary; SN u vectors
+            # stored f32
+            s_dur_full = cast_tree(s_dur_full, jnp.float32)
+            gs_full = cast_tree(gs_full, jnp.float32)
+            pe_mut = cast_tree(pe_mut, jnp.float32)
+            se_mut = cast_tree(se_mut, jnp.float32)
             sn_mut = {"predictor_encoder": pe_mut, "style_encoder": se_mut}
             s_trg = sg(jnp.concatenate([gs_full, s_dur_full], axis=-1))
 
@@ -187,6 +210,9 @@ class Stage2Trainer:
             against the POST-update discriminators via the stored vjp."""
             p = dict(params)
             p.update(g_params)
+            # bf16 compute in the heavy modules (decoder, style encoders,
+            # Ds, WavLM); sequence stack stays f32 (train/mp.py)
+            p = cast_module_params(p, self.mp)
             sg = jax.lax.stop_gradient
             k_al, k_diff, k_samp, k_dec, k_dec2, k_drop = jax.random.split(key, 6)
             (mels, asr, mono, d_gt, s_dur_full, s_trg, bert_dur, d_en,
@@ -199,7 +225,7 @@ class Stage2Trainer:
             if diff_on:
                 feats = None
                 if ms:
-                    ref_mels = preprocess_mel(batch["ref_waves"])
+                    ref_mels = cast_in(preprocess_mel(batch["ref_waves"]), self.mp)
                     ref_ss = models.style_encoder.apply(
                         mv(p, extras, "style_encoder"), ref_mels,
                         lengths=batch["ref_mel_lengths"],
@@ -208,7 +234,11 @@ class Stage2Trainer:
                         mv(p, extras, "predictor_encoder"), ref_mels,
                         lengths=batch["ref_mel_lengths"],
                     )
-                    feats = sg(jnp.concatenate([ref_ss, ref_sp], axis=-1))
+                    # features feed the f32 diffusion transformer
+                    feats = cast_tree(
+                        sg(jnp.concatenate([ref_ss, ref_sp], axis=-1)),
+                        jnp.float32,
+                    )
                     metrics["_has_feats"] = 1.0
 
                 def net_apply(x, c_noise, train=False, **kw):
@@ -251,11 +281,15 @@ class Stage2Trainer:
             st = clip_slice(mels, st_starts * 2, 2 * clip_len, axis=2)
             wav_clip = clip_slice(batch["waves"], starts * 600, clip_len * 600)
 
-            style_in = st if ms else gt
-            s_dur_clip = models.predictor_encoder.apply(
-                mv(p, extras, "predictor_encoder"), style_in, update_stats=False
+            style_in = cast_in(st if ms else gt, self.mp)
+            s_dur_clip = cast_tree(  # → f32: consumed by the f32 predictor
+                models.predictor_encoder.apply(
+                    mv(p, extras, "predictor_encoder"), style_in,
+                    update_stats=False,
+                ),
+                jnp.float32,
             )
-            s_clip = models.style_encoder.apply(
+            s_clip = models.style_encoder.apply(  # stays bf16 → decoder
                 mv(p, extras, "style_encoder"), style_in, update_stats=False
             )
 
@@ -264,9 +298,11 @@ class Stage2Trainer:
             )
             F0_real = sg(F0_real)
             N_real = sg(log_norm(gt))
+            en_c = cast_in(en, self.mp)
             y_rec_gt_pred = sg(
                 models.decoder.apply(
-                    {"params": sg(p["decoder"])}, en, F0_real, N_real, sg(s_clip),
+                    {"params": sg(p["decoder"])}, en_c, cast_in(F0_real, self.mp),
+                    cast_in(N_real, self.mp), sg(s_clip),
                     rngs={"noise": k_dec},
                 )
             )
@@ -277,7 +313,8 @@ class Stage2Trainer:
                 train=True, rngs={"dropout": k_drop},
             )
             y_rec = models.decoder.apply(
-                {"params": p["decoder"]}, en, F0_fake, N_fake, s_clip,
+                {"params": p["decoder"]}, en_c, cast_in(F0_fake, self.mp),
+                cast_in(N_fake, self.mp), s_clip,
                 train=joint_on, rngs={"noise": k_dec2},
             )
 
@@ -285,9 +322,13 @@ class Stage2Trainer:
             loss_norm = L.smooth_l1(N_real, N_fake)
             loss_mel = L.multires_stft_loss(y_rec, wav_tgt)
 
-            wav16 = resample_24k_to_16k(sg(wav_tgt))
-            rec16 = resample_24k_to_16k(y_rec)
-            wl_params = {"params": sg(params["wavlm"])}
+            wav16 = cast_in(resample_24k_to_16k(sg(wav_tgt)), self.mp)
+            rec16 = cast_in(resample_24k_to_16k(y_rec), self.mp)
+            wl_params = {
+                "params": cast_module_params(
+                    {"wavlm": sg(params["wavlm"])}, self.mp
+                )["wavlm"]
+            }
             real_states = [sg(h) for h in models.wavlm.apply(wl_params, wav16)]
             rec_states = models.wavlm.apply(wl_params, rec16)
             loss_slm = L.wavlm_feature_loss(real_states, rec_states)
@@ -409,13 +450,19 @@ class Stage2Trainer:
                 {"params": p["predictor"]}, p_en, s_dur, method="F0Ntrain",
                 train=True, rngs={"dropout": k_drop},
             )
+            dec_wl = cast_module_params(
+                {"decoder": sg(params["decoder"]), "wavlm": sg(params["wavlm"])},
+                self.mp,
+            )
             y_pred = models.decoder.apply(
-                {"params": sg(params["decoder"])}, en, F0_fake, N_fake, s_ac,
+                {"params": dec_wl["decoder"]}, cast_in(en, self.mp),
+                cast_in(F0_fake, self.mp), cast_in(N_fake, self.mp),
+                cast_in(s_ac, self.mp),
                 rngs={"noise": k_start2},
             )
             # generator LSGAN loss through frozen WavLM + wd head
-            rec16 = resample_24k_to_16k(y_pred)
-            states = models.wavlm.apply({"params": sg(params["wavlm"])}, rec16)
+            rec16 = cast_in(resample_24k_to_16k(y_pred), self.mp)
+            states = models.wavlm.apply({"params": dec_wl["wavlm"]}, rec16)
             d_g = models.wd.apply(
                 {"params": sg(params["wd"])}, L.stack_wavlm_states(states)
             )
@@ -432,7 +479,11 @@ class Stage2Trainer:
             sg = jax.lax.stop_gradient
             K = slm_bs
             wd_vars = {"params": wd_params["wd"]}
-            wl_params = {"params": sg(params["wavlm"])}
+            wl_params = {
+                "params": cast_module_params(
+                    {"wavlm": sg(params["wavlm"])}, self.mp
+                )["wavlm"]
+            }
 
             gt_half = batch["mel_lengths"][:K] // 2
             max_start = jnp.maximum(gt_half - slm_clip, 1)
@@ -441,7 +492,8 @@ class Stage2Trainer:
             real = jnp.where(use_rec_flag > 0, aux["y_rec_gt_pred_slm"], wav)
 
             def wd_of(x):
-                st = models.wavlm.apply(wl_params, resample_24k_to_16k(sg(x)))
+                x16 = cast_in(resample_24k_to_16k(sg(x)), self.mp)
+                st = models.wavlm.apply(wl_params, x16)
                 return models.wd.apply(wd_vars, L.stack_wavlm_states([sg(h) for h in st]))
 
             d_r = wd_of(real)
@@ -479,16 +531,17 @@ class Stage2Trainer:
                 g_params,
                 has_aux=True,
             )
-            wav_tgt = sg(aux["wav_tgt"])
+            wav_tgt = cast_in(sg(aux["wav_tgt"]), self.mp)
 
             if diff_on or ft:
                 # --- discriminator update first, on detached y_rec
                 # (train_second.py:407-412)
-                y_sg = sg(y_rec)
+                y_sg = cast_in(sg(y_rec), self.mp)
 
                 def d_loss_fn(d_params):
-                    mpd_out = models.mpd.apply({"params": d_params["mpd"]}, wav_tgt, y_sg)
-                    msd_out = models.msd.apply({"params": d_params["msd"]}, wav_tgt, y_sg)
+                    dp = cast_module_params(d_params, self.mp)
+                    mpd_out = models.mpd.apply({"params": dp["mpd"]}, wav_tgt, y_sg)
+                    msd_out = models.msd.apply({"params": dp["msd"]}, wav_tgt, y_sg)
                     return L.discriminator_adv_loss(mpd_out, msd_out)
 
                 d_params = {k: params[k] for k in d_keys}
@@ -500,8 +553,13 @@ class Stage2Trainer:
 
                 # --- generator adversarial term against the updated Ds
                 def adv_fn(y):
-                    mpd_out = models.mpd.apply({"params": sg(params["mpd"])}, wav_tgt, y)
-                    msd_out = models.msd.apply({"params": sg(params["msd"])}, wav_tgt, y)
+                    dp = cast_module_params(
+                        {"mpd": sg(params["mpd"]), "msd": sg(params["msd"])},
+                        self.mp,
+                    )
+                    y = cast_in(y, self.mp)
+                    mpd_out = models.mpd.apply({"params": dp["mpd"]}, wav_tgt, y)
+                    msd_out = models.msd.apply({"params": dp["msd"]}, wav_tgt, y)
                     return L.generator_adv_loss(mpd_out, msd_out)
 
                 loss_gen, y_cot = jax.value_and_grad(adv_fn)(y_rec)
@@ -955,11 +1013,15 @@ class Stage2Trainer:
         }
         placed = place_batch({"starts": starts, "st_starts": st_starts}, self.mesh)
         key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
-        params, extras, opt_states, metrics, new_sigma = step(
+        step_args = (
             self.state.params, self.state.extras, self.state.opt_states,
             bdict, placed["starts"], placed["st_starts"], key,
             jnp.asarray(self.state.sigma_data, jnp.float32), coins,
         )
+        # bench_train.py re-lowers the cached step with these to pull FLOPs
+        # from XLA's compiled-module cost analysis (MFU reporting)
+        self._last_step = (step, step_args)
+        params, extras, opt_states, metrics, new_sigma = step(*step_args)
         self.state.params = params
         self.state.extras = extras
         self.state.opt_states = opt_states
