@@ -1,30 +1,55 @@
-"""Training-throughput benchmark: steps/sec + audio-hours/hour for the
-stage-1 (TMA) and stage-2 (joint) steps on synthetic batches.
+"""Training-throughput benchmark: steps/sec, audio-hours/hour, FLOPs + MFU
+for the stage-1 (TMA) and stage-2 (joint) steps on synthetic batches.
 
 Usage:
     python bench_train.py [--stage first|second] [--devices N] [--batch B]
-                          [--full-size] [--steps N]
+                          [--full-size] [--steps N] [--mp bf16]
 
 Defaults to the shrunk-width full-structure config (parallel/tiny.py) on
-the current backend; --devices >1 builds the dp×tp mesh (virtual CPU devices
-when the host platform is forced). The reference's recipe for comparison:
-LJSpeech stage-1+2 ≈ 2.5 days on 4×A100 (reference README.md:82); results
-are recorded in docs/PERFORMANCE.md.
+the current backend; `--full-size` runs PRODUCTION widths — the reference
+recipe's batch 16 / max_len 400 mel frames / real 768-wide 12-layer WavLM
+(reference Configs/config.yml:5-7) — and reports MFU from XLA's own
+compiled-module cost analysis. `--devices N` builds the dp×tp mesh (virtual
+CPU devices when the host platform is forced). The reference's comparable
+number: LJSpeech stage-1+2 ≈ 2.5 days on 4×A100 (reference README.md:82);
+results are recorded in docs/PERFORMANCE.md.
 """
 
 import argparse
 import json
 import time
 
+# peak dense-matmul throughput per chip, FLOP/s (bf16 / f32): public cloud
+# specs; MFU is reported against the dtype actually used by the step
+PEAK_FLOPS = {
+    "TPU v4": (275e12, 137e12),
+    "TPU v5e": (197e12, 98e12),
+    "TPU v5 lite": (197e12, 98e12),
+    "TPU v5p": (459e12, 229e12),
+    "TPU v6e": (918e12, 459e12),
+    "TPU v6 lite": (918e12, 459e12),
+}
+
+
+def peak_for(device, bf16: bool) -> float:
+    kind = getattr(device, "device_kind", "")
+    for k, (p_bf16, p_f32) in PEAK_FLOPS.items():
+        if k.lower() in str(kind).lower():
+            return p_bf16 if bf16 else p_f32
+    return 0.0
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", choices=["first", "second"], default="first")
     ap.add_argument("--devices", type=int, default=1)
-    ap.add_argument("--batch", type=int, default=0, help="0 = devices*2")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="0 = 16 full-size, devices*2 tiny")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--full-size", action="store_true",
-                    help="production widths instead of the shrunk config")
+                    help="production widths (batch 16, max_len 400, real WavLM)")
+    ap.add_argument("--mp", choices=["", "bf16"], default="",
+                    help="mixed-precision mode for the trainers")
     args = ap.parse_args()
 
     import numpy as np
@@ -47,23 +72,41 @@ def main():
     from styletts2_tpu.parallel.mesh import make_mesh
 
     if args.full_size:
+        # the reference recipe: batch 16, max_len 400 mel frames
+        # (reference Configs/config.yml:5-7), full WavLM widths
         cfg = Config()
-        cfg.max_len = 80
-        cfg.slmadv_params.min_len = 80
-        cfg.slmadv_params.max_len = 120
-        cfg.model_params.slm.hidden = 64
-        cfg.model_params.slm.nlayers = 3
+        cfg.mixed_precision = args.mp
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from styletts2_tpu.models.build import (
+            build_training_models,
+            init_training_params,
+        )
+        from styletts2_tpu.train.run import MODULE_KEYS
+        from styletts2_tpu.train.state import TrainState, build_module_optimizers
+
+        models = build_training_models(cfg)
+        # init_training_params already lands initializers on the host CPU
+        # when a non-CPU backend is default (models/build.py:189-191)
+        variables = init_training_params(models, jax.random.PRNGKey(0), cfg)
+        txs = build_module_optimizers(cfg, MODULE_KEYS, stage2=(args.stage == "second"))
+        state = TrainState.create(variables, txs)
+        wav_len, bucket = 126000, 144000  # ≥402 mel frames → full 200-frame clips
     else:
         cfg = tiny_config()
-    models, state = tiny_training_setup(cfg, stage2=(args.stage == "second"))
+        cfg.mixed_precision = args.mp
+        models, state = tiny_training_setup(cfg, stage2=(args.stage == "second"))
+        wav_len, bucket = 27000, 48000
 
     mesh = None
     if args.devices > 1:
         mesh = make_mesh(args.devices, model_parallel=2 if args.devices % 2 == 0 else 1)
-    B = args.batch or (int(mesh.shape["data"]) if mesh else 2)
+    B = args.batch or (16 if args.full_size else (int(mesh.shape["data"]) if mesh else 2))
 
     rng = np.random.default_rng(0)
-    batch = synthetic_batch(rng, B)
+    batch = synthetic_batch(rng, B, wav_len=wav_len, bucket=bucket)
     audio_sec_per_step = float(np.sum(batch.wave_lengths)) / 24000.0
 
     if args.stage == "first":
@@ -94,16 +137,36 @@ def main():
         m = step()
     dt = (time.perf_counter() - t0) / args.steps
 
+    # FLOPs straight from XLA's cost analysis of the compiled step module
+    # (no hand model): re-lower the exact cached step with the exact args.
+    flops = 0.0
+    try:
+        step_fn, step_args = trainer._last_step
+        flops = float(
+            step_fn.lower(*step_args).compile().cost_analysis().get("flops", 0.0)
+        )
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {type(e).__name__}: {e}")
+
+    dev = jax.devices()[0]
+    n_dev = args.devices if args.devices > 1 else 1
+    peak = peak_for(dev, bf16=(args.mp == "bf16")) * n_dev
+    mfu = (flops / dt / peak) if (flops and peak) else None
+
     print(json.dumps({
         "stage": args.stage,
-        "devices": args.devices,
+        "devices": n_dev,
         "mesh": dict(mesh.shape) if mesh else None,
         "batch": B,
         "widths": "full" if args.full_size else "tiny",
+        "mixed_precision": args.mp or "f32",
         "backend": jax.default_backend(),
+        "device_kind": str(getattr(dev, "device_kind", "")),
         "steps_per_sec": round(1.0 / dt, 4),
         "sec_per_step": round(dt, 4),
         "audio_hours_per_hour": round(audio_sec_per_step / dt / 1.0, 2),
+        "flops_per_step": flops or None,
+        "mfu": round(mfu, 4) if mfu is not None else None,
         "compile_sec": round(compile_sec, 1),
         "g_loss": round(float(m["g_loss"]), 4),
     }))

@@ -386,7 +386,8 @@ class Synthesizer:
         hifigan = self.hifigan
         sd = self.style_dim
 
-        def fused(params, tokens, lengths, noise, key, ref_s, alpha, beta):
+        def fused(params, tokens, lengths, noise, key, ref_s, alpha, beta,
+                  speed):
             B, T = tokens.shape
             valid = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.int32)
             t_en = models.text_encoder.apply(params["text_encoder"], tokens, lengths)
@@ -417,7 +418,8 @@ class Synthesizer:
                 params["predictor"], d, lengths, method="duration"
             )
             duration = jax.nn.sigmoid(dur_logits).sum(axis=-1)
-            pred_dur = jnp.maximum(jnp.round(duration), 1.0)
+            # speech-rate control (traced scalar): speed>1 shortens durations
+            pred_dur = jnp.maximum(jnp.round(duration / speed), 1.0)
             pred_dur = jnp.where(
                 jnp.arange(T)[None, :] < lengths[:, None], pred_dur, 0.0
             ).astype(jnp.int32)
@@ -457,6 +459,7 @@ class Synthesizer:
         diffusion_steps: int = 5,
         embedding_scale: float = 1.0,
         seed: int = 0,
+        speed: float = 1.0,
     ) -> np.ndarray:
         """Single-dispatch synthesis with a static frame budget (≈7.5ms of
         audio per frame at 24 kHz); the wav is trimmed host-side to the
@@ -482,7 +485,7 @@ class Synthesizer:
             )
         wav, total = self._fused[ck](
             self.params, jnp.asarray(tokens), jnp.asarray([L], np.int32), noise,
-            key, ref_arr, alpha, beta,
+            key, ref_arr, alpha, beta, jnp.asarray(float(speed)),
         )
         wav = np.asarray(wav)
         n = int(np.asarray(total)[0]) * 600
@@ -497,6 +500,7 @@ class Synthesizer:
         diffusion_steps: int = 5,
         embedding_scale: float = 1.0,
         seed: int = 0,
+        speed: float = 1.0,
     ):
         """Length-masked batched synthesis of N utterances (first-class here;
         the reference only exposes single-utterance notebook functions).
@@ -529,6 +533,11 @@ class Synthesizer:
             k_samp, ref_s_arr, alpha, beta, s_prev, 0.0,
         )
         pred_dur = np.array(pred_dur)
+        if speed != 1.0:  # speech-rate control, as in inference()
+            for i, l in enumerate(lengths):
+                pred_dur[i, :l] = np.maximum(
+                    np.round(pred_dur[i, :l] / speed), 1
+                )
         if not self.multispeaker:
             for i, l in enumerate(lengths):
                 pred_dur[i, l - 1] += 5
