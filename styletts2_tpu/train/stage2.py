@@ -112,7 +112,8 @@ class Stage2Trainer:
         self.running_std = []
 
     # ------------------------------------------------------------------
-    def _make_step(self, clip_len, diff_on, joint_on, slm_frames, slm_clip, slm_bs):
+    def _make_step(self, clip_len, diff_on, joint_on, slm_frames, slm_clip,
+                   slm_bs, num_steps):
         cfg = self.cfg
         models = self.models
         lp = cfg.loss_params
@@ -201,7 +202,7 @@ class Stage2Trainer:
 
         # --------------------------------------------------------------
         def gen_forward(g_params, params, extras, batch, starts, st_starts, key,
-                        sigma_data, num_steps_flags):
+                        sigma_data):
             """ONE generator forward per step (the reference computes y_rec
             once and feeds it detached to the D loss,
             train_second.py:400-412; round-2 code recomputed the whole
@@ -258,9 +259,13 @@ class Stage2Trainer:
                 noise = jax.random.normal(k_samp, s_trg[:, None, :].shape)
                 # trainer samples 3 or 4 steps (train_second.py:314); the
                 # step count must be static → branch on a host coin
-                s3 = sample_adpm2(denoise, noise, k_samp, num_steps=3)[:, 0]
-                s4 = sample_adpm2(denoise, noise, k_samp, num_steps=4)[:, 0]
-                s_preds = jnp.where(num_steps_flags > 0, s4, s3)
+                # 3-or-4 sampler steps is a STATIC choice per compiled step
+                # variant (train_second.py:314 samples it per iteration; the
+                # round-2 code computed BOTH trajectories every step and
+                # jnp.where-selected — 2× sampler compute, larger compile)
+                s_preds = sample_adpm2(
+                    denoise, noise, k_samp, num_steps=num_steps
+                )[:, 0]
                 loss_sty = jnp.mean(jnp.abs(s_preds - sg(s_trg)))
                 metrics.update(diff=loss_diff, sty=loss_sty)
             else:
@@ -378,7 +383,7 @@ class Stage2Trainer:
 
         # --------------------------------------------------------------
         def slm_gen_loss_fn(slm_params, params, extras, batch, key,
-                            sigma_data, aux, use_ind_flag, steps_flag):
+                            sigma_data, aux, use_ind_flag):
             """SLM-adversarial generator pass (slmadv.py:20-190)."""
             p = dict(params)
             p.update(slm_params)
@@ -404,9 +409,9 @@ class Stage2Trainer:
 
             denoise = make_denoise_fn(net_apply, sigma_data)
             noise = jax.random.normal(k_samp, s_trg[:, None, :].shape)
-            s3 = sample_adpm2(denoise, noise, k_samp, num_steps=3)[:, 0]
-            s4 = sample_adpm2(denoise, noise, k_samp, num_steps=4)[:, 0]
-            s_sampled = jnp.where(steps_flag > 0, s4, s3)
+            s_sampled = sample_adpm2(
+                denoise, noise, k_samp, num_steps=num_steps
+            )[:, 0]
             s_preds = jnp.where(use_ind_flag > 0, s_trg, s_sampled)
 
             sdim = cfg.model_params.style_dim  # ref hardcodes 128 (slmadv.py:44-45)
@@ -526,7 +531,7 @@ class Stage2Trainer:
             (partial_loss, y_rec), vjp_fn, (g_metrics, aux) = jax.vjp(
                 lambda gp: gen_forward(
                     gp, params, extras, batch, starts, st_starts, k_g,
-                    sigma_data, coins["num_steps"],
+                    sigma_data,
                 ),
                 g_params,
                 has_aux=True,
@@ -610,7 +615,7 @@ class Stage2Trainer:
                 (slm_loss, (y_pred, valid_b)), slm_grads = jax.value_and_grad(
                     slm_gen_loss_fn, has_aux=True
                 )(slm_params, params, extras, batch, k_slm, sigma_data, aux_slm,
-                  coins["use_ind"], coins["num_steps"])
+                  coins["use_ind"])
 
                 # reference grad post-processing (train_second.py:498-525)
                 pred_norm = optax.global_norm(slm_grads["predictor"])
@@ -975,11 +980,16 @@ class Stage2Trainer:
         slm_frames = max(sa.max_len, 2 * slm_clip + 40)
         slm_bs = max(2, int(len(batch.mel_lengths) * sa.batch_percentage))
 
+        # 3-or-4 diffusion sampler steps (train_second.py:314): static per
+        # compiled variant — two executables total, each running ONE sampler
+        num_steps = 3 + int(rng.integers(0, 2))
         skey = (batch.tokens.shape[1], batch.waves.shape[1],
-                batch.ref_tokens.shape[1], clip_len, diff_on, joint_on)
+                batch.ref_tokens.shape[1], clip_len, diff_on, joint_on,
+                num_steps)
         if skey not in self._steps:
             self._steps[skey] = self._make_step(
-                clip_len, diff_on, joint_on, slm_frames, slm_clip, slm_bs
+                clip_len, diff_on, joint_on, slm_frames, slm_clip, slm_bs,
+                num_steps,
             )
         step = self._steps[skey]
 
@@ -1006,7 +1016,6 @@ class Stage2Trainer:
             self.mesh,
         )
         coins = {
-            "num_steps": jnp.asarray(int(rng.integers(0, 2))),
             "use_ind": jnp.asarray(int(use_ind and rng.random() < 0.5)),
             "use_rec": jnp.asarray(int(rng.integers(0, 2))),
             "slm_d": jnp.asarray(int((iters + 1) % sa.iter == 0)),
