@@ -93,7 +93,7 @@ def main():
     try:
         def fused():
             return syn.inference_fused(text, diffusion_steps=steps, seed=0,
-                                       speed=speed)[0]
+                                       speed=speed)
 
         fwav = fused()  # warm
         flat = _timed(fused, 10)

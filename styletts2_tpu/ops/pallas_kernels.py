@@ -145,6 +145,12 @@ def adain_snake(x, gamma, beta, alpha, use_pallas: bool | None = None):
         dd = jax.config.jax_default_device
         forced_cpu = dd is not None and getattr(dd, "platform", None) == "cpu"
         use_pallas = jax.default_backend() == "tpu" and not forced_cpu
+        # the kernel's (1, time-tile, C) block specs assume f32 (8,128)
+        # sublane tiling; bf16 needs (16,128)-aligned loads Mosaic can't
+        # prove here — route the bf16 serving dtype to the jnp composition
+        # (XLA fuses it well) until the kernel grows a bf16 block layout
+        if x.dtype != jnp.float32:
+            use_pallas = False
     if use_pallas:
         return _adain_snake_pallas(x, gamma, beta, alpha)
     return _adain_snake_ref(x, gamma, beta, jnp.broadcast_to(alpha.reshape(1, 1, -1), (1, 1, x.shape[-1])))
