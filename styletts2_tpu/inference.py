@@ -6,12 +6,12 @@ cells 5/16/42/45): `Synthesizer.inference(text, ...)`, `compute_style(wave)`,
 length-masked synthesis, which the reference does not offer.
 
 TPU-native structure: the pipeline runs as a chain of medium-size jitted
-stages with static shape buckets — text+BERT encoding, style diffusion
-(lax.scan ADPM2, per steps/CFG-scale), duration, then per-frame-bucket
-prosody/alignment and decoder stages. Weights live on the accelerator; the
-only host syncs per utterance are the integer durations (frame-bucket
-choice) and the final PCM16 waveform. See docs/PERFORMANCE.md for why this
-layout wins on tunneled TPU runtimes (101× real time single-stream).
+stages with static shape buckets — phase A (text+BERT encoding, lax.scan
+ADPM2 style diffusion per steps/CFG-scale, duration) in one dispatch, then
+per-frame-bucket prosody/alignment and decoder stages. Weights live on the
+accelerator; the only host syncs per utterance are the integer durations
+(frame-bucket choice) and the final PCM16 waveform. See
+docs/PERFORMANCE.md for why this layout wins on tunneled TPU runtimes.
 `inference_fused` offers the single-dispatch whole-graph alternative.
 """
 
@@ -87,78 +87,8 @@ class Synthesizer:
     # only host syncs are the duration fetch and the final wav.
     # ------------------------------------------------------------------
 
-    def _stages(self):
-        if hasattr(self, "_stage_fns"):
-            return self._stage_fns
-        models = self.models
-        multispeaker = self.multispeaker
-
-        @jax.jit
-        def stage_text(params, tokens, lengths):
-            T = tokens.shape[1]
-            valid = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.int32)
-            t_en = models.text_encoder.apply(params["text_encoder"], tokens, lengths)
-            bert_dur = models.bert.apply(params["bert"], tokens, valid)
-            d_en = models.bert_encoder.apply(params["bert_encoder"], bert_dur)
-            return t_en, bert_dur, d_en
-
-        @jax.jit
-        def stage_duration(params, d_en, s, lengths):
-            T = d_en.shape[1]
-            d = models.predictor.apply(
-                params["predictor"], d_en, s, lengths, method="encode_texts"
-            )
-            dur_logits = models.predictor.apply(
-                params["predictor"], d, lengths, method="duration"
-            )
-            duration = jax.nn.sigmoid(dur_logits).sum(axis=-1)
-            pred_dur = jnp.maximum(jnp.round(duration), 1.0)
-            pred_dur = jnp.where(
-                jnp.arange(T)[None, :] < lengths[:, None], pred_dur, 0.0
-            ).astype(jnp.int32)
-            return d, pred_dur
-
-        self._stage_fns = (stage_text, stage_duration)
-        return self._stage_fns
-
-    def _make_stage_style(self, diffusion_steps: int, embedding_scale: float):
-        models = self.models
-        multispeaker = self.multispeaker
-        sd = self.style_dim
-
-        def stage_style(params, bert_dur, lengths, noise, key, ref_s, alpha, beta,
-                        s_prev, s_prev_w):
-            def net_apply(x, c_noise, **kw):
-                return models.diffusion.apply(
-                    params["diffusion"], x, c_noise, bert_dur,
-                    features=ref_s if multispeaker else None,
-                    embedding_scale=embedding_scale,
-                    embedding_lengths=lengths,
-                )
-
-            denoise = make_denoise_fn(net_apply, self.sigma_data)
-            s_pred = sample_adpm2(
-                denoise, noise, key, num_steps=diffusion_steps
-            )[:, 0, :]
-            s_pred = s_prev_w * s_prev + (1.0 - s_prev_w) * s_pred
-            s = s_pred[:, sd:]
-            ref = s_pred[:, :sd]
-            if multispeaker:
-                ref = alpha * ref + (1.0 - alpha) * ref_s[:, :sd]
-                s = beta * s + (1.0 - beta) * ref_s[:, sd:]
-            return s, ref, jnp.concatenate([ref, s], axis=-1)
-
-        return jax.jit(stage_style)
-
-    def _get_stage_style(self, steps, scale):
-        if not hasattr(self, "_style_fns"):
-            self._style_fns = {}
-        k = (steps, float(scale))
-        if k not in self._style_fns:
-            self._style_fns[k] = self._make_stage_style(steps, float(scale))
-        return self._style_fns[k]
-
-    # legacy fused phase A (kept for fused/batched paths)
+    # phase A: one dispatch from tokens to (t_en, d, s, ref, pred_dur);
+    # shared by inference, inference_batch and LFinference
     def _make_phase_a(self, diffusion_steps: int, embedding_scale: float):
         models = self.models
         multispeaker = self.multispeaker
@@ -346,16 +276,16 @@ class Synthesizer:
             s_prev = jnp.zeros((1, 2 * self.style_dim), jnp.float32)
             s_prev_weight = 0.0
 
-        stage_text, stage_duration = self._stages()
-        stage_style = self._get_stage_style(diffusion_steps, embedding_scale)
-        t_en, bert_dur, d_en = stage_text(
-            self.params, jnp.asarray(tokens), jnp.asarray(lengths)
+        # phase A in ONE dispatch (text encode -> diffusion -> duration):
+        # at realistic ~8 s utterances serving latency is dispatch-bound
+        # (~30 ms per executable on tunneled runtimes, docs/PERFORMANCE.md),
+        # so fewer dispatches per utterance is a direct p50 cut.
+        pa = self._get_phase_a(diffusion_steps, embedding_scale)
+        t_en, d, s, ref, s_out, pred_dur = pa(
+            self.params, jnp.asarray(tokens), jnp.asarray(lengths), noise,
+            k_samp, ref_s, alpha, beta, jnp.asarray(s_prev),
+            float(s_prev_weight),
         )
-        s, ref, s_out = stage_style(
-            self.params, bert_dur, jnp.asarray(lengths), noise, k_samp, ref_s,
-            alpha, beta, jnp.asarray(s_prev), float(s_prev_weight),
-        )
-        d, pred_dur = stage_duration(self.params, d_en, s, jnp.asarray(lengths))
         pred_dur = np.array(pred_dur)  # writable host copy
         if speed != 1.0:
             # speech-rate control: speed>1 shortens durations (serving

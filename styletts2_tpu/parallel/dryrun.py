@@ -54,19 +54,32 @@ from styletts2_tpu.parallel.tiny import (  # noqa: F401 (re-exported API)
 
 
 def run_dryrun(n_devices: int) -> None:
-    # NOTE: the persistent compile cache must stay DISABLED here. Reloading
-    # AOT-cached multi-device CPU executables deadlocks XLA's in-process
-    # collective rendezvous — re-confirmed on jax 0.9.0 this round: the
-    # warm stage-1 reload loads its AOT results (cpu_aot_loader logs) then
-    # hangs in the step with no participant progress, while toy GSPMD /
-    # shard_map psum programs (1D and 4×2 subgroup meshes) reload cleanly —
-    # the failure needs the full trainer graph. Cold compiles of the same
-    # programs execute fine; single-device programs reload fine, so
-    # tests/conftest.py keeps the cache on.
-    try:
-        jax.config.update("jax_compilation_cache_dir", None)
-    except Exception:
-        pass
+    # NOTE: the persistent compile cache must stay DISABLED for the sharded
+    # train-step programs. Reloading AOT-cached multi-device CPU executables
+    # deadlocks XLA's in-process collective rendezvous — re-confirmed on jax
+    # 0.9.0 this round: the warm stage-1 reload loads its AOT results
+    # (cpu_aot_loader logs) then hangs in the step with no participant
+    # progress, while toy GSPMD / shard_map psum programs (1D and 4×2
+    # subgroup meshes) reload cleanly — the failure needs the full trainer
+    # graph. Cold compiles of the same programs execute fine; SINGLE-device
+    # programs reload fine (same bisect; tests/conftest.py keeps the cache
+    # on for exactly that reason), so the cache is flipped ON only around
+    # the eager param-init phase below (~1500 tiny single-device programs,
+    # ~110 s of the round-3 wall cold, near-free warm) and OFF before any
+    # mesh-sharded program can compile.
+    def _cache(on: bool) -> None:
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                "/root/repo/.jax_cache" if on else None,
+            )
+            if on:
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+                jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+        except Exception:
+            pass
+
+    _cache(False)
     devs = jax.devices()
     if len(devs) < n_devices:
         raise RuntimeError(
@@ -74,21 +87,37 @@ def run_dryrun(n_devices: int) -> None:
             f"{devs[0].platform} backend exposes {len(devs)}; the virtual CPU "
             "mesh was not forced (jax initialized before run_dryrun?)"
         )
-    mesh = make_mesh(n_devices, model_parallel=2 if n_devices % 2 == 0 else 1)
+    # widest tp the device count allows with dp kept ≥2: {data:2, model:4}
+    # on 8 devices. Global batch == dp width, so dp:2 also HALVES the
+    # batch-proportional step work vs the old {data:4, model:2} layout —
+    # on the 1-core time-shared virtual mesh that is a direct wall-clock
+    # cut (the -O0 step execution was ~190 s of the round-3 stage-1 wall)
+    # while exercising the Megatron column/row rule at a harder tp width.
+    tp = 4 if n_devices % 4 == 0 else (2 if n_devices % 2 == 0 else 1)
+    mesh = make_mesh(n_devices, model_parallel=tp)
     B = int(mesh.shape["data"])
     rng = np.random.default_rng(0)
     batch = synthetic_batch(rng, B)
     stages = os.environ.get("STYLETTS2_DRYRUN_STAGES", "first,second").split(",")
+
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _mark(msg):
+        print(f"dryrun [{_time.time() - _t0:6.0f}s] {msg}", flush=True)
 
     if "first" in stages:
         from styletts2_tpu.train.stage1 import Stage1Trainer
 
         cfg = tiny_config()
         cfg.loss_params.TMA_epoch = 0  # TMA phase: all stage-1 losses live
+        _mark("stage1: building models + init params")
+        _cache(True)  # init compiles are single-device: safe to reload
         models, state = tiny_training_setup(cfg)
+        _cache(False)  # OFF before any mesh-sharded program compiles
         trainer = Stage1Trainer(cfg, models, state, mesh=mesh)
-        print("dryrun stage1: models built, compiling + running the jitted "
-              "train step...", flush=True)
+        _mark("stage1: compiling + running the jitted train step")
         m1 = trainer.train_step(batch, epoch=1, rng=rng)
         assert m1 is not None
         for k in ("g_loss", "mel", "s2s", "mono", "gen", "slm", "d_loss"):
@@ -102,10 +131,12 @@ def run_dryrun(n_devices: int) -> None:
         cfg = tiny_config()
         cfg.loss_params.diff_epoch = 0
         cfg.loss_params.joint_epoch = 0  # joint: diffusion + SLM-adv live
+        _mark("stage2: building models + init params")
+        _cache(True)  # single-device init programs only
         models, state = tiny_training_setup(cfg, stage2=True)
+        _cache(False)
         trainer = Stage2Trainer(cfg, models, state, mesh=mesh)
-        print("dryrun stage2: models built, compiling + running the jitted "
-              "train step...", flush=True)
+        _mark("stage2: compiling + running the jitted train step")
         m2 = trainer.train_step(batch, epoch=1, iters=9, rng=rng)
         assert m2 is not None
         for k in ("g_loss", "mel", "diff", "sty", "slm_gen", "slm_d", "d_loss"):

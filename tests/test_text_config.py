@@ -66,3 +66,48 @@ def test_word_tokenize_reference_preprocessing():
     assert word_tokenize("hˈɛloʊ, wˈɜːld.") == [
         "hˈɛloʊ", ",", "wˈɜːld", "."
     ]
+
+
+def test_phonemize_preprocessing_with_mock_backend(monkeypatch):
+    """The raw-text frontend must reproduce the reference notebook chain
+    (Demo/Inference_LJSpeech.ipynb cell 17): strip -> drop double quotes ->
+    espeak phonemize -> word_tokenize -> space-join. espeak isn't in this
+    image, so the backend is mocked; the real-backend path differs only in
+    the IPA lookup."""
+    import sys
+    import types
+
+    seen = {}
+
+    class FakeBackend:
+        def __init__(self, language, preserve_punctuation, with_stress):
+            assert preserve_punctuation and with_stress
+            seen["language"] = language
+
+        def phonemize(self, texts):
+            seen["input"] = texts
+            return ["ðɪs ɪz ɐ tˈɛst, jˈɛs."]
+
+    mod = types.ModuleType("phonemizer")
+    backend_mod = types.ModuleType("phonemizer.backend")
+    backend_mod.EspeakBackend = FakeBackend
+    mod.backend = backend_mod
+    monkeypatch.setitem(sys.modules, "phonemizer", mod)
+    monkeypatch.setitem(sys.modules, "phonemizer.backend", backend_mod)
+
+    out = T.phonemize('  This is a "test", yes.  ')
+    assert seen["language"] == "en-us"
+    assert seen["input"] == ["This is a test, yes."]  # stripped, quotes gone
+    assert out == "ðɪs ɪz ɐ tˈɛst , jˈɛs ."  # word_tokenize + space-join
+
+
+def test_phonemize_missing_dependency_message(monkeypatch):
+    import builtins
+    import sys
+
+    monkeypatch.setitem(sys.modules, "phonemizer", None)
+    monkeypatch.setitem(sys.modules, "phonemizer.backend", None)
+    import pytest
+
+    with pytest.raises(ImportError, match="pre-phonemized"):
+        T.phonemize("hello")
