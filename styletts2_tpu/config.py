@@ -196,6 +196,13 @@ class Config:
     # (train_finetune_accelerate.py:33-35). bf16 shares f32's exponent
     # range, so no GradScaler is needed.
     mixed_precision: str = ""
+    # static decoder/GAN clip bucket granularity AND floor, in mel-half
+    # frames: clip_len = max(B, floor_to_B(min(half-1, max_len//2))). The
+    # reference slices dynamic per-batch clips (train_first.py:216-243);
+    # static shapes need a bucket. 40 (= 0.6 s of audio, 24000 samples)
+    # matches the reference's practical minimum; the multi-chip dryrun
+    # shrinks it to cut the 1-core step cost (parallel/dryrun.py).
+    clip_frame_bucket: int = 40
 
     F0_path: str = "Utils/JDC/bst.t7"
     ASR_config: str = "Utils/ASR/config.yml"

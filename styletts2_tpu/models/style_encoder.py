@@ -62,12 +62,13 @@ class StyleEncoder(nn.Module):
         the batched TPU replacement of the reference's per-item
         full-utterance style loop (train_second.py:295-307, which runs the
         encoder once per sample because of AdaptiveAvgPool2d)."""
-        if mel.shape[-1] < 80:
-            # 4 stride-2 stages + the 5-wide valid conv need ≥80 frames; the
-            # reference enforces this by skipping short clips
+        min_frames = 5 * 2 ** self.repeat_num  # stride-2 stages + 5-wide conv
+        if mel.shape[-1] < min_frames:
+            # the reference enforces this by skipping short clips
             # (train_first.py:246-247)
             raise ValueError(
-                f"StyleEncoder needs >=80 mel frames, got {mel.shape[-1]}"
+                f"StyleEncoder(repeat_num={self.repeat_num}) needs "
+                f">={min_frames} mel frames, got {mel.shape[-1]}"
             )
         if lengths is not None:
             T = mel.shape[-1]

@@ -54,20 +54,36 @@ from styletts2_tpu.parallel.tiny import (  # noqa: F401 (re-exported API)
 
 
 def run_dryrun(n_devices: int) -> None:
-    # NOTE: the persistent compile cache must stay DISABLED for the sharded
-    # train-step programs. Reloading AOT-cached multi-device CPU executables
-    # deadlocks XLA's in-process collective rendezvous — re-confirmed on jax
-    # 0.9.0 this round: the warm stage-1 reload loads its AOT results
-    # (cpu_aot_loader logs) then hangs in the step with no participant
-    # progress, while toy GSPMD / shard_map psum programs (1D and 4×2
-    # subgroup meshes) reload cleanly — the failure needs the full trainer
-    # graph. Cold compiles of the same programs execute fine; SINGLE-device
-    # programs reload fine (same bisect; tests/conftest.py keeps the cache
-    # on for exactly that reason), so the cache is flipped ON only around
-    # the eager param-init phase below (~1500 tiny single-device programs,
-    # ~110 s of the round-3 wall cold, near-free warm) and OFF before any
-    # mesh-sharded program can compile.
+    # NOTE on the persistent compile cache: reloading AOT-cached MULTI-device
+    # CPU executables deadlocks XLA's in-process collective rendezvous.
+    # Round-4 root-causing (VERDICT round-3 #7): the deadlock is NOT the
+    # jax_persistent_cache_enable_xla_caches="all" payload alone — with
+    # "none", one -O0 stage-1 reload ran correctly (identical losses to the
+    # cold compile), but the default-opt reload of the same program hung
+    # with every thread futex-parked (all participants waiting inside the
+    # collective rendezvous; 18 threads, 0% CPU). Reload of full sharded
+    # trainer executables is therefore treated as UNSAFE/racy, matching the
+    # round-3 bisect (toy GSPMD programs reload fine, the full trainer does
+    # not). Policy: cache ON for the ~1500 single-device init programs
+    # (reload-proven, the biggest fixed cost), OFF before any mesh-sharded
+    # program compiles. The sharded compiles stay cold but now run at full
+    # LLVM opt: -O0 saved only ~9% compile (97→88.6 s) while costing ~70%
+    # more execute (208→349 s) — removed in round 4.
+    # Knobs (all env, defaults = driver behavior via __graft_entry__):
+    #   STYLETTS2_DRYRUN_CACHE  = init|all|off   cache scope (default init)
+    #   STYLETTS2_DRYRUN_XLA_CACHES = none|all   xla-internal cache payload
+    #   STYLETTS2_DRYRUN_TP     = int            model-parallel width (4)
+    #   STYLETTS2_DRYRUN_SMALL  = 1|0            shrunk dryrun shapes (1)
+    #   STYLETTS2_DRYRUN_LOG_COMPILES = 1        per-program compile walls
+    cache_mode = os.environ.get("STYLETTS2_DRYRUN_CACHE", "init")
+    xla_caches = os.environ.get("STYLETTS2_DRYRUN_XLA_CACHES", "none")
+    small = os.environ.get("STYLETTS2_DRYRUN_SMALL", "1") == "1"
+
     def _cache(on: bool) -> None:
+        if cache_mode == "off":
+            on = False
+        elif cache_mode == "all":
+            on = True
         try:
             jax.config.update(
                 "jax_compilation_cache_dir",
@@ -75,11 +91,15 @@ def run_dryrun(n_devices: int) -> None:
             )
             if on:
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-                jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+                jax.config.update(
+                    "jax_persistent_cache_enable_xla_caches", xla_caches
+                )
         except Exception:
             pass
 
     _cache(False)
+    if os.environ.get("STYLETTS2_DRYRUN_LOG_COMPILES"):
+        jax.config.update("jax_log_compiles", True)
     devs = jax.devices()
     if len(devs) < n_devices:
         raise RuntimeError(
@@ -93,11 +113,30 @@ def run_dryrun(n_devices: int) -> None:
     # on the 1-core time-shared virtual mesh that is a direct wall-clock
     # cut (the -O0 step execution was ~190 s of the round-3 stage-1 wall)
     # while exercising the Megatron column/row rule at a harder tp width.
-    tp = 4 if n_devices % 4 == 0 else (2 if n_devices % 2 == 0 else 1)
+    tp_default = 4 if n_devices % 4 == 0 else (2 if n_devices % 2 == 0 else 1)
+    tp = int(os.environ.get("STYLETTS2_DRYRUN_TP", tp_default))
     mesh = make_mesh(n_devices, model_parallel=tp)
     B = int(mesh.shape["data"])
     rng = np.random.default_rng(0)
-    batch = synthetic_batch(rng, B)
+    if small:
+        # minimum shapes that keep every compiled subgraph alive: mel halves
+        # land ≥25 so the shrunk 24-frame clip bucket engages (see
+        # clip_frame_bucket below); text buffer 16 halves the ASRS2S decode
+        # scan vs the unit-test default of 32
+        batch = synthetic_batch(rng, B, wav_len=15600, bucket=17400,
+                                T_text=10, T_buf=16)
+    else:
+        batch = synthetic_batch(rng, B)
+
+    def shrink_cfg(cfg):
+        if small:
+            # 24-frame decoder/GAN clips (0.36 s) instead of the production
+            # 40-frame bucket: the decoder/MPD/MRSD/WavLM subgraphs — the
+            # bulk of the per-device step work on this 1-core host — shrink
+            # ~40% while every loss and sharding rule stays live
+            cfg.clip_frame_bucket = 24
+            cfg.max_len = 48
+        return cfg
     stages = os.environ.get("STYLETTS2_DRYRUN_STAGES", "first,second").split(",")
 
     import time as _time
@@ -107,18 +146,31 @@ def run_dryrun(n_devices: int) -> None:
     def _mark(msg):
         print(f"dryrun [{_time.time() - _t0:6.0f}s] {msg}", flush=True)
 
+    from styletts2_tpu.parallel.tiny import tiny_models_and_variables, tiny_state
+
+    # ONE param init shared by both stages (the two TrainStates differ only
+    # in their per-module optax transforms): init is ~1500 eager tiny
+    # programs, the single largest fixed cost of the dry run on this host.
+    _mark("building models + init params (shared across stages)")
+    _cache(True)  # init compiles are single-device: reload-safe
+    base_cfg = tiny_config()
+    # style_repeat=3 lowers the StyleEncoder clip floor to 40 mel frames so
+    # the 24-frame clip bucket fits (multiplicity shrink, parallel/tiny.py)
+    models, variables = tiny_models_and_variables(
+        base_cfg, style_repeat=3 if small else 4
+    )
+    _cache(False)  # OFF before any mesh-sharded program compiles (see NOTE)
+
     if "first" in stages:
         from styletts2_tpu.train.stage1 import Stage1Trainer
 
-        cfg = tiny_config()
+        cfg = shrink_cfg(tiny_config())
         cfg.loss_params.TMA_epoch = 0  # TMA phase: all stage-1 losses live
-        _mark("stage1: building models + init params")
-        _cache(True)  # init compiles are single-device: safe to reload
-        models, state = tiny_training_setup(cfg)
-        _cache(False)  # OFF before any mesh-sharded program compiles
+        state = tiny_state(cfg, variables)
         trainer = Stage1Trainer(cfg, models, state, mesh=mesh)
         _mark("stage1: compiling + running the jitted train step")
         m1 = trainer.train_step(batch, epoch=1, rng=rng)
+        _mark("stage1: step executed")
         assert m1 is not None
         for k in ("g_loss", "mel", "s2s", "mono", "gen", "slm", "d_loss"):
             assert np.isfinite(m1[k]), f"stage1 {k} non-finite: {m1}"
@@ -128,16 +180,20 @@ def run_dryrun(n_devices: int) -> None:
     if "second" in stages:
         from styletts2_tpu.train.stage2 import Stage2Trainer
 
-        cfg = tiny_config()
+        cfg = shrink_cfg(tiny_config())
         cfg.loss_params.diff_epoch = 0
         cfg.loss_params.joint_epoch = 0  # joint: diffusion + SLM-adv live
-        _mark("stage2: building models + init params")
-        _cache(True)  # single-device init programs only
-        models, state = tiny_training_setup(cfg, stage2=True)
-        _cache(False)
+        if small:
+            # SLM-adversarial synthesis budget: 72 frames instead of 120
+            # (the path stays live end-to-end; only the static frame count
+            # of the OOD synthesis + WavLM subgraphs shrinks)
+            cfg.slmadv_params.min_len = 32
+            cfg.slmadv_params.max_len = 48
+        state = tiny_state(cfg, variables, stage2=True)
         trainer = Stage2Trainer(cfg, models, state, mesh=mesh)
         _mark("stage2: compiling + running the jitted train step")
         m2 = trainer.train_step(batch, epoch=1, iters=9, rng=rng)
+        _mark("stage2: step executed")
         assert m2 is not None
         for k in ("g_loss", "mel", "diff", "sty", "slm_gen", "slm_d", "d_loss"):
             assert np.isfinite(m2[k]), f"stage2 {k} non-finite: {m2}"

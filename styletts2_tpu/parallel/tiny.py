@@ -49,20 +49,27 @@ def tiny_config() -> Config:
     return cfg
 
 
-def tiny_training_setup(cfg: Config, stage2: bool = False):
-    """(models, state) with a shrunk frozen WavLM, mirroring the unit-test
-    configuration so dryrun evidence covers the same compiled programs."""
+def tiny_models_and_variables(cfg: Config, style_repeat: int = 4):
+    """(models, variables) with a shrunk frozen WavLM, mirroring the
+    unit-test configuration. Param init is the expensive half (~1500 tiny
+    eager programs on a 1-core host) — callers that need BOTH stage
+    optimizers (parallel/dryrun.py) init once and build two TrainStates.
+
+    style_repeat<4 shrinks the StyleEncoder's stride-2 stage count (same
+    multiplicity-reduction rule as the mpd/aligner below), lowering its
+    minimum clip width from 80 to 5*2^r mel frames — the dryrun uses 3 so
+    its 24-frame (48-mel) clip bucket fits."""
     import jax
 
     from styletts2_tpu.models.build import build_training_models, init_training_params
+    from styletts2_tpu.models.style_encoder import StyleEncoder
     from styletts2_tpu.models.wavlm import WavLM
-    from styletts2_tpu.train.run import MODULE_KEYS
-    from styletts2_tpu.train.state import TrainState, build_module_optimizers
 
     from styletts2_tpu.models.asr import ASRCNN
     from styletts2_tpu.models.discriminators import MultiPeriodDiscriminator
 
     models = build_training_models(cfg)
+    mp = cfg.model_params
     models = dataclasses.replace(
         models,
         wavlm=WavLM(hidden=64, heads=2, intermediate=96, num_layers=2),
@@ -71,15 +78,37 @@ def tiny_training_setup(cfg: Config, stage2: bool = False):
         # losses/shardings) are fully exercised at lower repeat counts
         mpd=MultiPeriodDiscriminator(periods=(2, 3)),
         text_aligner=ASRCNN(hidden_dim=128, n_layers=2, token_embedding_dim=128),
+        style_encoder=StyleEncoder(
+            dim_in=mp.dim_in, style_dim=mp.style_dim,
+            max_conv_dim=mp.hidden_dim, repeat_num=style_repeat,
+        ),
+        predictor_encoder=StyleEncoder(
+            dim_in=mp.dim_in, style_dim=mp.style_dim,
+            max_conv_dim=mp.hidden_dim, repeat_num=style_repeat,
+        ),
     )
     variables = init_training_params(models, jax.random.PRNGKey(0), cfg)
+    return models, variables
+
+
+def tiny_state(cfg: Config, variables, stage2: bool = False):
+    """TrainState over pre-initialized variables with the stage's
+    per-module optimizers."""
+    from styletts2_tpu.train.run import MODULE_KEYS
+    from styletts2_tpu.train.state import TrainState, build_module_optimizers
+
     txs = build_module_optimizers(cfg, MODULE_KEYS, stage2=stage2)
-    state = TrainState.create(variables, txs)
-    return models, state
+    return TrainState.create(variables, txs)
+
+
+def tiny_training_setup(cfg: Config, stage2: bool = False):
+    """(models, state): one-stop setup for tests/benches."""
+    models, variables = tiny_models_and_variables(cfg)
+    return models, tiny_state(cfg, variables, stage2=stage2)
 
 
 def synthetic_batch(rng, B: int, wav_len: int = 27000, bucket: int = 48000,
-                    T_text: int = 12):
+                    T_text: int = 12, T_buf: int = 32):
     """Random batch in the dataloader's Batch layout (data/meldataset.py)."""
     from styletts2_tpu.data.meldataset import Batch
 
@@ -92,7 +121,7 @@ def synthetic_batch(rng, B: int, wav_len: int = 27000, bucket: int = 48000,
         wave_lengths[b] = n
         ml = n // 300 + 1
         mel_lengths[b] = ml - ml % 2
-    tokens = np.zeros((B, 32), np.int32)
+    tokens = np.zeros((B, T_buf), np.int32)
     tokens[:, :T_text] = rng.integers(4, 178, (B, T_text))
     input_lengths = np.full(B, T_text, np.int32)
     return Batch(

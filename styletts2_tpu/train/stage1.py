@@ -122,7 +122,7 @@ class Stage1Trainer:
 
     # ------------------------------------------------------------------
     def _forward_recon(self, params, extras, batch, starts, st_starts, key,
-                       clip_len, use_mono, train=True):
+                       clip_len, use_mono, train=True, return_io=False):
         # use_mono: traced 0/1 scalar — 50/50 soft/mono alignment choice
         # (train_first.py:209-213) without doubling compilations
         """Common forward to y_rec; returns (y_rec, wav_clip, aux)."""
@@ -179,6 +179,12 @@ class Stage1Trainer:
             "gt": gt,
             "se_mut": se_mut,
         }
+        if return_io:
+            # decoder inputs for fidelity tooling (tools/train_tiny_fidelity
+            # measures bf16-vs-f32 decoder MCD on TRAINED weights); opt-in so
+            # the default jaxpr — and the primed dryrun executables — are
+            # unchanged
+            aux["decoder_io"] = (en, F0_real, real_norm, s)
         return y_rec, wav_clip, aux
 
     # ------------------------------------------------------------------
@@ -314,8 +320,9 @@ class Stage1Trainer:
 
         half = batch.mel_lengths // 2
         clip_len = int(min(int(half.min()) - 1, cfg.max_len // 2))
-        clip_len = max(40, (clip_len // 40) * 40)  # static bucket
-        if int(half.min()) - 1 < 40:
+        cb = self.cfg.clip_frame_bucket
+        clip_len = max(cb, (clip_len // cb) * cb)  # static bucket
+        if int(half.min()) - 1 < cb:
             return None  # skip too-short batch (reference: continue)
         starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
         st_starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
@@ -367,8 +374,9 @@ class Stage1Trainer:
         map. Returns {'audio': {tag: wav}, 'attn': (T_text, L_mem)} or None."""
         half = batch.mel_lengths // 2
         clip_len = int(min(int(half.min()) - 1, self.cfg.max_len // 2))
-        clip_len = max(40, (clip_len // 40) * 40)
-        if int(half.min()) - 1 < 40:
+        cb = self.cfg.clip_frame_bucket
+        clip_len = max(cb, (clip_len // cb) * cb)
+        if int(half.min()) - 1 < cb:
             return None
         starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
         bdict = {
@@ -395,8 +403,9 @@ class Stage1Trainer:
         """Validation mel loss (train_first.py:329-386)."""
         half = batch.mel_lengths // 2
         clip_len = int(min(int(half.min()) - 1, self.cfg.max_len // 2))
-        clip_len = max(40, (clip_len // 40) * 40)
-        if int(half.min()) - 1 < 40:
+        cb = self.cfg.clip_frame_bucket
+        clip_len = max(cb, (clip_len // cb) * cb)
+        if int(half.min()) - 1 < cb:
             return None
         starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
         bdict = {

@@ -641,6 +641,14 @@ class Stage2Trainer:
                     params, opt_states, slm_grads, txs, slm_keys
                 )
                 metrics["slm_gen"] = slm_loss
+                # fraction of SLM items contributing (validity weight > 0):
+                # quantifies the static-composition deviation vs the
+                # reference's dynamic skip/resample loop (slmadv.py:117-140)
+                # — if this sits at 1.0 over training, the fixed slice and
+                # the dynamic loop see the same batches (docs/ROADMAP.md A/B)
+                metrics["slm_valid_frac"] = jnp.mean(
+                    valid_b.astype(jnp.float32)
+                )
 
                 # SLM discriminator every `iter` steps (coins["slm_d"])
                 def run_wd(params, opt_states):
@@ -739,8 +747,9 @@ class Stage2Trainer:
         cfg = self.cfg
         half = batch.mel_lengths // 2
         clip_len = int(min(int(half.min()) - 1, cfg.max_len // 2))
-        clip_len = max(40, (clip_len // 40) * 40)
-        if int(half.min()) - 1 < 40:
+        cb = self.cfg.clip_frame_bucket
+        clip_len = max(cb, (clip_len // cb) * cb)
+        if int(half.min()) - 1 < cb:
             return None
         starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
         bdict = {
@@ -772,8 +781,9 @@ class Stage2Trainer:
         if not sample:
             half = batch.mel_lengths // 2
             clip_len = int(min(int(half.min()) - 1, cfg.max_len // 2))
-            clip_len = max(40, (clip_len // 40) * 40)
-            if int(half.min()) - 1 < 40:
+            cb = self.cfg.clip_frame_bucket
+            clip_len = max(cb, (clip_len // cb) * cb)
+            if int(half.min()) - 1 < cb:
                 return None
             starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
             bdict = {
@@ -969,8 +979,9 @@ class Stage2Trainer:
 
         half = batch.mel_lengths // 2
         clip_len = int(min(int(half.min()) - 1, cfg.max_len // 2))
-        clip_len = max(40, (clip_len // 40) * 40)
-        if int(half.min()) - 1 < 40:
+        cb = self.cfg.clip_frame_bucket
+        clip_len = max(cb, (clip_len // cb) * cb)
+        if int(half.min()) - 1 < cb:
             return None
         starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
         st_starts = rng.integers(0, np.maximum(half - clip_len, 1)).astype(np.int32)
