@@ -15,6 +15,7 @@ single-dispatch fused path, and the opt-in bf16-decoder single-stream RTF.
 """
 
 import json
+import os
 import time
 
 TARGET_AUDIO_SEC = 8.0
@@ -29,6 +30,132 @@ def _timed(fn, n):
         fn()
         lat.append(time.perf_counter() - t0)
     return np.asarray(lat)
+
+
+def bench_extended():
+    """BASELINE.json configs 2-4 (run with STYLETTS2_BENCH_FULL=1; results
+    committed to BENCH_EXTENDED.json + docs/PERFORMANCE.md — kept off the
+    driver's headline path to bound its wall clock):
+      2. LibriTTS zero-shot: multispeaker StyleTransformer1d denoiser w/
+         reference-wav style, 10 diffusion steps, embedding_scale 1.5 (CFG
+         doubles denoiser evals) — Demo/Inference_LibriTTS.ipynb cell 16.
+      3. Batched synthesis: 32 length-masked utterances + long-form
+         paragraph stitching, HiFi-GAN decoder variant.
+      4. Diffusion sweep: steps x CFG-scale grid, compile-per-setting
+         (static shapes), per-setting RTF + style consistency."""
+    import numpy as np
+
+    from styletts2_tpu.config import Config, load_config
+    from styletts2_tpu.inference import Synthesizer
+
+    out = {}
+    text = (
+        "ðɪ kwˈɪk bɹˈaʊn fˈɑːks dʒˈʌmps ˈoʊvɚ ðə lˈeɪzi dˈɔːɡ, "
+        "ænd ðə sˈʌn sˈɛts slˈoʊli bɪhˈaɪnd ðə mˈaʊntənz."
+    )
+
+    # ---- config 2: LibriTTS zero-shot ------------------------------
+    cfg_ms = load_config("configs/config_libritts.yml")
+    syn_ms = Synthesizer(cfg_ms, seed=0)
+    rng = np.random.default_rng(0)
+    ref_wav = rng.standard_normal(24000 * 3).astype(np.float32) * 0.05
+    ref_s = syn_ms.compute_style(ref_wav)
+    wav, _ = syn_ms.inference(  # calibrate natural length -> ~8 s speed pin
+        text, ref_s=ref_s, diffusion_steps=10, embedding_scale=1.5, seed=0
+    )
+    speed_ms = max(len(wav) / 24000.0 / TARGET_AUDIO_SEC, 1.0)
+
+    def zs():
+        return syn_ms.inference(text, ref_s=ref_s, diffusion_steps=10,
+                                embedding_scale=1.5, seed=0, pcm16=True,
+                                speed=speed_ms)[0]
+
+    w = zs()  # warm the frame bucket
+    lat = _timed(zs, 10)
+    out["libritts_zeroshot"] = {
+        "diffusion_steps": 10, "embedding_scale": 1.5,
+        "audio_sec": round(len(w) / 24000.0, 2),
+        "rtf": round(len(w) / 24000.0 / float(np.mean(lat)), 1),
+        "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+    }
+    del syn_ms
+
+    # ---- config 3: B=32 batched + long-form, HiFi-GAN decoder ------
+    cfg_hg = Config()
+    cfg_hg.model_params.decoder.type = "hifigan"
+    # reference HiFi-GAN variant rates (Configs/config_libritts.yml analog)
+    cfg_hg.model_params.decoder.upsample_rates = [10, 5, 3, 2]
+    cfg_hg.model_params.decoder.upsample_kernel_sizes = [20, 10, 6, 4]
+    syn_hg = Synthesizer(cfg_hg, seed=0)
+    texts = [
+        text,
+        "ðɪs ɪz ɐ ʃˈɔːɹtɚ sˈɛntəns.",
+        "wˈʌn mˈoːɹ ˈʌtɚɹəns wɪð ɐ dˈɪfɹənt lˈɛŋkθ fɔːɹ mˈæskɪŋ.",
+        "ænd ɐ fˈoːɹθ wˈʌn tə ɹˈaʊnd ˈaʊt ðə bˈʌkɪts hˈɪɹ tədˈeɪ.",
+    ] * 8  # 32 utterances, 4 distinct lengths
+    wav0, _ = syn_hg.inference(texts[0], diffusion_steps=5, seed=0)
+    speed_hg = max(len(wav0) / 24000.0 / TARGET_AUDIO_SEC, 1.0)
+
+    def b32():
+        return syn_hg.inference_batch(texts, diffusion_steps=5,
+                                      speed=speed_hg)
+
+    wavs = b32()  # warm
+    blat = _timed(b32, 4)
+    batch_audio = sum(len(x) for x in wavs) / 24000.0
+    out["batched_B32_hifigan"] = {
+        "batch": 32,
+        "audio_sec_total": round(batch_audio, 1),
+        "aggregate_rtf": round(batch_audio / float(np.mean(blat)), 1),
+        "batch_latency_ms": round(float(np.mean(blat)) * 1e3, 1),
+    }
+
+    para = ("ðɪs ɪz ðə fˈɜːst sˈɛntəns. hˈɪɹ ɪz ɐ sˈɛkənd wˈʌn. "
+            "ðə θˈɜːd kˈæɹiz ðə stˈaɪl fˈoːɹwɚd. ænd ðə lˈæst klˈoʊzɪz ɪt.")
+    w_lf = syn_hg.long_form(para, t=0.7, diffusion_steps=5, speed=speed_hg)
+    llat = _timed(lambda: syn_hg.long_form(para, t=0.7, diffusion_steps=5,
+                                           speed=speed_hg), 4)
+    out["long_form_hifigan"] = {
+        "sentences": 4,
+        "audio_sec": round(len(w_lf) / 24000.0, 2),
+        "rtf": round(len(w_lf) / 24000.0 / float(np.mean(llat)), 1),
+    }
+    del syn_hg
+
+    # ---- config 4: diffusion steps x CFG-scale sweep (LJSpeech) ----
+    syn = Synthesizer(Config(), seed=0)
+    wav0, _ = syn.inference(text, diffusion_steps=5, seed=0)
+    speed = max(len(wav0) / 24000.0 / TARGET_AUDIO_SEC, 1.0)
+    sweep = []
+    styles = {}
+    for steps in (3, 5, 10):
+        for scale in (1.0, 1.5):
+            t0 = time.perf_counter()
+            w, s_out = syn.inference(text, diffusion_steps=steps,
+                                     embedding_scale=scale, seed=0,
+                                     pcm16=True, speed=speed)
+            cold = time.perf_counter() - t0  # includes per-setting compile
+            lat = _timed(
+                lambda: syn.inference(text, diffusion_steps=steps,
+                                      embedding_scale=scale, seed=0,
+                                      pcm16=True, speed=speed), 5)
+            styles[(steps, scale)] = np.asarray(s_out)
+            sweep.append({
+                "steps": steps, "scale": scale,
+                "rtf": round(len(w) / 24000.0 / float(np.mean(lat)), 1),
+                "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+                "first_call_s": round(cold, 2),
+            })
+    # style consistency across step counts (same seed/noise): the sampler
+    # should converge to nearby style vectors as steps grow
+    c35 = float(np.abs(styles[(3, 1.0)] - styles[(5, 1.0)]).mean())
+    c510 = float(np.abs(styles[(5, 1.0)] - styles[(10, 1.0)]).mean())
+    out["diffusion_sweep"] = {
+        "grid": sweep,
+        "style_mean_abs_delta_3v5": round(c35, 4),
+        "style_mean_abs_delta_5v10": round(c510, 4),
+    }
+    return out
 
 
 def main():
@@ -140,4 +267,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("STYLETTS2_BENCH_FULL"):
+        # extended matrix only (BASELINE configs 2-4); results are committed
+        # to BENCH_EXTENDED.json — the driver's single-line contract runs
+        # main() below instead
+        print(json.dumps(bench_extended(), indent=1))
+    else:
+        main()

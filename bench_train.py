@@ -106,7 +106,13 @@ def main():
     B = args.batch or (16 if args.full_size else (int(mesh.shape["data"]) if mesh else 2))
 
     rng = np.random.default_rng(0)
-    batch = synthetic_batch(rng, B, wav_len=wav_len, bucket=bucket)
+    if args.full_size:
+        # ~110 phoneme tokens matches real ~16 s LJSpeech utterances; the
+        # tiny default of 12 would understate aligner/BERT/text-encoder FLOPs
+        batch = synthetic_batch(rng, B, wav_len=wav_len, bucket=bucket,
+                                T_text=110, T_buf=128)
+    else:
+        batch = synthetic_batch(rng, B, wav_len=wav_len, bucket=bucket)
     audio_sec_per_step = float(np.sum(batch.wave_lengths)) / 24000.0
 
     if args.stage == "first":

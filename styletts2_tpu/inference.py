@@ -47,6 +47,7 @@ class Synthesizer:
         frame_bucket: int = 100,
         sigma_data: float = 0.2,
         decoder_dtype: Optional[str] = None,
+        phase_a: str = "staged",
     ):
         """decoder_dtype: 'float32' (default) | 'bfloat16'.
         The bf16 decoder path (the reference's fp16 analog,
@@ -58,7 +59,17 @@ class Synthesizer:
         chaotically amplifies activation rounding, so the ≤0.5 dB budget is
         not demonstrably met without trained checkpoints. Methodology and
         numbers in docs/PERFORMANCE.md; regression bound in
-        tests/test_bf16.py."""
+        tests/test_bf16.py.
+
+        phase_a: 'staged' (default) | 'fused'. Single-stream inference()
+        runs its text→style→duration phase either as three chained
+        medium-size executables or as one fused dispatch. On the tunneled
+        TPU runtime per-call cost GROWS with executable size
+        (docs/PERFORMANCE.md "What mattered" #2), and fusing phase A was
+        the round-3 single-stream regression (53.8×→43.9×, p50 144→174 ms)
+        — so staged is the default; 'fused' remains for backends with a
+        true fixed per-dispatch floor. Batched inference always uses the
+        fused phase A (B amortizes the size-dependent cost)."""
         self.cfg = cfg
         self.models = build_models(cfg)
         self.multispeaker = cfg.model_params.multispeaker
@@ -77,8 +88,10 @@ class Synthesizer:
             params = jax.device_put(params, jax.devices()[0])
             params = jax.block_until_ready(params)
         self.params = params
+        self.phase_a_mode = phase_a
         self._phase_a = {}
         self._phase_b = {}
+        self._style_fns = {}
 
     # ------------------------------------------------------------------
     # staged pipeline: several medium-size jits chained on-device.
@@ -87,8 +100,82 @@ class Synthesizer:
     # only host syncs are the duration fetch and the final wav.
     # ------------------------------------------------------------------
 
-    # phase A: one dispatch from tokens to (t_en, d, s, ref, pred_dur);
-    # shared by inference, inference_batch and LFinference
+    # ---- staged phase A: three chained medium executables -------------
+    # (text+BERT encode | style diffusion | duration). The round-2 layout:
+    # restored as the single-stream default after the round-3 fused phase A
+    # measured ~18% slower (per-call cost grows with executable size here).
+
+    def _stages(self):
+        if hasattr(self, "_stage_fns"):
+            return self._stage_fns
+        models = self.models
+
+        @jax.jit
+        def stage_text(params, tokens, lengths):
+            T = tokens.shape[1]
+            valid = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.int32)
+            t_en = models.text_encoder.apply(params["text_encoder"], tokens, lengths)
+            bert_dur = models.bert.apply(params["bert"], tokens, valid)
+            d_en = models.bert_encoder.apply(params["bert_encoder"], bert_dur)
+            return t_en, bert_dur, d_en
+
+        @jax.jit
+        def stage_duration(params, d_en, s, lengths):
+            T = d_en.shape[1]
+            d = models.predictor.apply(
+                params["predictor"], d_en, s, lengths, method="encode_texts"
+            )
+            dur_logits = models.predictor.apply(
+                params["predictor"], d, lengths, method="duration"
+            )
+            duration = jax.nn.sigmoid(dur_logits).sum(axis=-1)
+            pred_dur = jnp.maximum(jnp.round(duration), 1.0)
+            pred_dur = jnp.where(
+                jnp.arange(T)[None, :] < lengths[:, None], pred_dur, 0.0
+            ).astype(jnp.int32)
+            return d, pred_dur
+
+        self._stage_fns = (stage_text, stage_duration)
+        return self._stage_fns
+
+    def _make_stage_style(self, diffusion_steps: int, embedding_scale: float):
+        models = self.models
+        multispeaker = self.multispeaker
+        sd = self.style_dim
+
+        def stage_style(params, bert_dur, lengths, noise, key, ref_s, alpha,
+                        beta, s_prev, s_prev_w):
+            def net_apply(x, c_noise, **kw):
+                return models.diffusion.apply(
+                    params["diffusion"], x, c_noise, bert_dur,
+                    features=ref_s if multispeaker else None,
+                    embedding_scale=embedding_scale,
+                    embedding_lengths=lengths,
+                )
+
+            denoise = make_denoise_fn(net_apply, self.sigma_data)
+            s_pred = sample_adpm2(
+                denoise, noise, key, num_steps=diffusion_steps
+            )[:, 0, :]
+            s_pred = s_prev_w * s_prev + (1.0 - s_prev_w) * s_pred
+            s = s_pred[:, sd:]
+            ref = s_pred[:, :sd]
+            if multispeaker:
+                ref = alpha * ref + (1.0 - alpha) * ref_s[:, :sd]
+                s = beta * s + (1.0 - beta) * ref_s[:, sd:]
+            return s, ref, jnp.concatenate([ref, s], axis=-1)
+
+        return jax.jit(stage_style)
+
+    def _get_stage_style(self, steps, scale):
+        k = (steps, float(scale))
+        if k not in self._style_fns:
+            self._style_fns[k] = self._make_stage_style(steps, float(scale))
+        return self._style_fns[k]
+
+    # ---- fused phase A: one dispatch from tokens to (t_en, d, s, ref,
+    # pred_dur); used by inference_batch (and single-stream when
+    # phase_a='fused')
     def _make_phase_a(self, diffusion_steps: int, embedding_scale: float):
         models = self.models
         multispeaker = self.multispeaker
@@ -276,16 +363,28 @@ class Synthesizer:
             s_prev = jnp.zeros((1, 2 * self.style_dim), jnp.float32)
             s_prev_weight = 0.0
 
-        # phase A in ONE dispatch (text encode -> diffusion -> duration):
-        # at realistic ~8 s utterances serving latency is dispatch-bound
-        # (~30 ms per executable on tunneled runtimes, docs/PERFORMANCE.md),
-        # so fewer dispatches per utterance is a direct p50 cut.
-        pa = self._get_phase_a(diffusion_steps, embedding_scale)
-        t_en, d, s, ref, s_out, pred_dur = pa(
-            self.params, jnp.asarray(tokens), jnp.asarray(lengths), noise,
-            k_samp, ref_s, alpha, beta, jnp.asarray(s_prev),
-            float(s_prev_weight),
-        )
+        if self.phase_a_mode == "fused":
+            pa = self._get_phase_a(diffusion_steps, embedding_scale)
+            t_en, d, s, ref, s_out, pred_dur = pa(
+                self.params, jnp.asarray(tokens), jnp.asarray(lengths), noise,
+                k_samp, ref_s, alpha, beta, jnp.asarray(s_prev),
+                float(s_prev_weight),
+            )
+        else:
+            # staged phase A (default): three chained medium executables —
+            # measurably faster single-stream on this runtime (see __init__)
+            stage_text, stage_duration = self._stages()
+            stage_style = self._get_stage_style(diffusion_steps, embedding_scale)
+            t_en, bert_dur, d_en = stage_text(
+                self.params, jnp.asarray(tokens), jnp.asarray(lengths)
+            )
+            s, ref, s_out = stage_style(
+                self.params, bert_dur, jnp.asarray(lengths), noise, k_samp,
+                ref_s, alpha, beta, jnp.asarray(s_prev), float(s_prev_weight),
+            )
+            d, pred_dur = stage_duration(
+                self.params, d_en, s, jnp.asarray(lengths)
+            )
         pred_dur = np.array(pred_dur)  # writable host copy
         if speed != 1.0:
             # speech-rate control: speed>1 shortens durations (serving

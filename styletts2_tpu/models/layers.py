@@ -192,6 +192,10 @@ class WNConvTranspose1d(nn.Module):
         return y
 
 
+# Spectral-norm power iterations per stats update (see SNConv2d.__call__).
+SN_POWER_ITERS = 1
+
+
 class SNConv2d(nn.Module):
     """Spectral-normalized 2D conv (NHWC) with one power iteration per call,
     torch.nn.utils.spectral_norm semantics (u persisted in 'spectral' collection)."""
@@ -232,10 +236,18 @@ class SNConv2d(nn.Module):
         # the 'spectral' collection and sigma rejoins the compute dtype
         w_mat32 = w_mat.astype(jnp.float32)
         if update_stats:
-            v = w_mat32.T @ u
-            v = v / (jnp.linalg.norm(v) + 1e-12)
-            u = w_mat32 @ v
-            u = u / (jnp.linalg.norm(u) + 1e-12)
+            # SN_POWER_ITERS (module global, default 1): iterations per
+            # update. torch runs ONE iteration per train-mode *forward* and
+            # the reference makes several forwards per optimizer step
+            # (full-utterance + clip + ref style passes, train_second.py:
+            # 295-307); here stats update once per step. Setting this to ~3
+            # emulates the torch per-step cadence — used by the A/B in
+            # tools/ab_dynamics.py (measured deltas in docs/ROADMAP.md).
+            for _ in range(SN_POWER_ITERS):
+                v = w_mat32.T @ u
+                v = v / (jnp.linalg.norm(v) + 1e-12)
+                u = w_mat32 @ v
+                u = u / (jnp.linalg.norm(u) + 1e-12)
             u = jax.lax.stop_gradient(u)
             v = jax.lax.stop_gradient(v)
             u_var.value = u
