@@ -93,7 +93,9 @@ def main():
         variables = init_training_params(models, jax.random.PRNGKey(0), cfg)
         txs = build_module_optimizers(cfg, MODULE_KEYS, stage2=(args.stage == "second"))
         state = TrainState.create(variables, txs)
-        wav_len, bucket = 126000, 144000  # ≥402 mel frames → full 200-frame clips
+        # ≥402 mel frames → full 200-frame clips; bucket covers the longest
+        # item (wav_len + (B-1)*1500 at B=16 → 148500)
+        wav_len, bucket = 126000, 150000
     else:
         cfg = tiny_config()
         cfg.mixed_precision = args.mp

@@ -41,11 +41,14 @@ def _kernel(x_ref, mean_ref, rstd_ref, gamma_ref, beta_ref, alpha_ref, out_ref):
     # sublane dims divisible by 8 or whole); select this program's row.
     bi = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)  # (Tt, Ct); math in f32 even for bf16 io
+    # per-channel operands are all pre-cast f32 host-side: only x/out carry
+    # the serving dtype, so the bf16 path has a single (16,128)-tileable
+    # bf16 operand and the stats blocks keep f32 (8,128) tiling
     mean = mean_ref[bi][None, :]
     rstd = rstd_ref[bi][None, :]
-    g = gamma_ref[bi][None, :].astype(jnp.float32)
-    b = beta_ref[bi][None, :].astype(jnp.float32)
-    a = alpha_ref[0][None, :].astype(jnp.float32)
+    g = gamma_ref[bi][None, :]
+    b = beta_ref[bi][None, :]
+    a = alpha_ref[0][None, :]
     y = (1.0 + g) * ((x - mean) * rstd) + b
     s = jnp.sin(a * y)
     out_ref[0] = (y + (s * s) / a).astype(out_ref.dtype)
@@ -61,11 +64,13 @@ def fused_adain_snake(x, gamma, beta, alpha, interpret: bool = False):
     B, T, C = x.shape
     CT = min(C, 128)
     # time tile: the Mosaic lowering needs the sublane (2nd-minor) block dim
-    # divisible by 8 OR equal to the full axis. Prefer the largest 8-divisible
-    # divisor of T ≤ 2048; whole-T blocks are fine when T itself fits; odd/
-    # prime long lengths fall back to the jnp chain.
+    # divisible by the dtype's native sublane count — 8 for f32, 16 for bf16
+    # ((16,128) packed tiles) — OR equal to the full axis. Prefer the largest
+    # aligned divisor of T ≤ 2048; whole-T blocks are fine when T itself
+    # fits; odd/prime long lengths fall back to the jnp chain.
+    gr = 16 if x.dtype == jnp.bfloat16 else 8
     TT = 0
-    for d in range(min(T - T % 8, 2048), 0, -8):
+    for d in range(min(T - T % gr, 2048), 0, -gr):
         if T % d == 0:
             TT = d
             break
@@ -77,6 +82,9 @@ def fused_adain_snake(x, gamma, beta, alpha, interpret: bool = False):
     mean = jnp.mean(xs, axis=1)  # (B, C)
     var = jnp.mean(jnp.square(xs), axis=1) - mean * mean
     rstd = jax.lax.rsqrt(var + 1e-5)
+    gamma = gamma.astype(jnp.float32)
+    beta = beta.astype(jnp.float32)
+    alpha = alpha.astype(jnp.float32)
     grid = (B, T // TT, C // CT)
     return pl.pallas_call(
         _kernel,
@@ -140,16 +148,19 @@ _adain_snake_pallas.defvjp(_fwd, _bwd)
 
 
 def adain_snake(x, gamma, beta, alpha, use_pallas: bool | None = None):
-    """Dispatch: Pallas (custom-VJP) on TPU, jnp composition elsewhere."""
+    """Dispatch: Pallas (custom-VJP) on TPU, jnp composition elsewhere.
+    STYLETTS2_NO_PALLAS=1 forces the jnp path (A/B + debugging)."""
+    import os
+
+    if use_pallas is None and os.environ.get("STYLETTS2_NO_PALLAS"):
+        use_pallas = False
     if use_pallas is None:
         dd = jax.config.jax_default_device
         forced_cpu = dd is not None and getattr(dd, "platform", None) == "cpu"
         use_pallas = jax.default_backend() == "tpu" and not forced_cpu
-        # the kernel's (1, time-tile, C) block specs assume f32 (8,128)
-        # sublane tiling; bf16 needs (16,128)-aligned loads Mosaic can't
-        # prove here — route the bf16 serving dtype to the jnp composition
-        # (XLA fuses it well) until the kernel grows a bf16 block layout
-        if x.dtype != jnp.float32:
+        # f32 and bf16 both dispatch to the kernel (bf16 uses 16-aligned
+        # time tiles and f32 per-channel operands); other dtypes fall back
+        if x.dtype not in (jnp.float32, jnp.bfloat16):
             use_pallas = False
     if use_pallas:
         return _adain_snake_pallas(x, gamma, beta, alpha)

@@ -91,14 +91,14 @@ def decoder_mcd_f32_vs_bf16(trainer, batch, rng):
 
     @jax.jit
     def recon_io(params, extras, bdict, starts, key):
-        y32, _, aux = trainer._forward_recon(
+        _, _, aux = trainer._forward_recon(
             params, extras, bdict, starts, starts, key, clip_len,
             use_mono=jnp.asarray(1), train=False, return_io=True,
         )
-        return y32, aux["decoder_io"]
+        return aux["decoder_io"]
 
     key = jax.random.PRNGKey(0)
-    y32, (en, F0, norm, s) = recon_io(
+    en, F0, norm, s = recon_io(
         trainer.state.params, trainer.state.extras, bdict,
         jnp.asarray(starts), key,
     )
@@ -109,6 +109,16 @@ def decoder_mcd_f32_vs_bf16(trainer, batch, rng):
         trainer.state.params["decoder"],
     )
 
+    # IDENTICAL noise key for both precisions (SineGen draws phase/noise
+    # in f32 islands on both paths, so the stochastic inputs match and the
+    # delta isolates compute/param precision)
+    @jax.jit
+    def recon(dec_params, en, F0, norm, s, key):
+        return trainer.models.decoder.apply(
+            {"params": dec_params}, en.astype(en.dtype), F0, norm, s,
+            rngs={"noise": key},
+        ).astype(jnp.float32)
+
     @jax.jit
     def recon16(dec_params, en, F0, norm, s, key):
         return trainer.models.decoder.apply(
@@ -117,6 +127,7 @@ def decoder_mcd_f32_vs_bf16(trainer, batch, rng):
             s.astype(jnp.bfloat16), rngs={"noise": key},
         ).astype(jnp.float32)
 
+    y32 = recon(trainer.state.params["decoder"], en, F0, norm, s, key)
     y16 = recon16(dec_params, en, F0, norm, s, key)
     scores = [
         float(mcd(np.asarray(y16[b]), np.asarray(y32[b]), use_dtw=False))
@@ -125,10 +136,119 @@ def decoder_mcd_f32_vs_bf16(trainer, batch, rng):
     return float(np.mean(scores)), scores
 
 
+def torch_parity_mcd(trainer, cfg, held_out, clip_len=40):
+    """Decoder torch-parity on the trainer's CURRENT weights: export via
+    styletts2_tpu.export into the reference Decoder classes
+    (/root/reference/Modules/istftnet.py) rebuilt at this config's widths,
+    compare waveforms on identical inputs with zeroed stochastic sources.
+    Returns (mean_mcd_dB, per_item, waveform_rel_err). Requires the
+    decoder's resblock_dilation_sizes to have 3 entries (the reference
+    AdaINResBlock1 hardcodes dilation[2], istftnet.py:29-40)."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.join(repo, "tests") not in sys.path:
+        sys.path.insert(0, os.path.join(repo, "tests"))
+    import numpy as np
+    import torch
+    from torch import nn
+    from torch.nn.utils import weight_norm
+
+    import jax
+    import jax.numpy as jnp
+
+    from test_ref_parity import stable_har_phase, zero_noise
+    from ref_compat import load_ref_module
+    from styletts2_tpu.eval import mcd
+    from styletts2_tpu.export import export_decoder_istftnet
+
+    load_ref_module("ref_models_mod", "models.py")  # installs import stubs
+    sys.path.insert(0, "/root/reference")
+    try:
+        import Modules.istftnet as ist
+    finally:
+        sys.path.remove("/root/reference")
+
+    bdict = {
+        "waves": jnp.asarray(held_out.waves),
+        "tokens": jnp.asarray(held_out.tokens),
+        "input_lengths": jnp.asarray(held_out.input_lengths),
+        "mel_lengths": jnp.asarray(held_out.mel_lengths),
+    }
+    starts = jnp.zeros(len(held_out.mel_lengths), jnp.int32)
+    mp = cfg.model_params
+
+    with zero_noise(), stable_har_phase():
+
+        @jax.jit
+        def recon_io(params, extras, bdict, starts, key):
+            y, _, aux = trainer._forward_recon(
+                params, extras, bdict, starts, starts, key, clip_len,
+                use_mono=jnp.asarray(1), train=False, return_io=True,
+            )
+            return y, aux["decoder_io"]
+
+        y_jax, (en, F0, norm, s) = recon_io(
+            trainer.state.params, trainer.state.extras, bdict, starts,
+            jax.random.PRNGKey(0),
+        )
+
+        # reference decoder at the SAME widths; the reference hardcodes the
+        # last decode width (512) and asr_res input (512) — rebuild those
+        # two submodules with the reference's own classes
+        dec = ist.Decoder(
+            dim_in=mp.hidden_dim, style_dim=mp.style_dim,
+            resblock_kernel_sizes=list(mp.decoder.resblock_kernel_sizes),
+            upsample_rates=list(mp.decoder.upsample_rates),
+            upsample_initial_channel=mp.decoder.upsample_initial_channel,
+            resblock_dilation_sizes=[list(d) for d in mp.decoder.resblock_dilation_sizes],
+            upsample_kernel_sizes=list(mp.decoder.upsample_kernel_sizes),
+        )
+        dec.decode[-1] = ist.AdainResBlk1d(
+            1024 + 2 + 64, mp.decoder.upsample_initial_channel,
+            mp.style_dim, upsample=True,
+        )
+        dec.asr_res = nn.Sequential(
+            weight_norm(nn.Conv1d(mp.hidden_dim, 64, kernel_size=1))
+        )
+        dec.eval()
+        sd = export_decoder_istftnet(
+            jax.tree.map(np.asarray, trainer.state.params["decoder"])
+        )
+        missing, unexpected = dec.load_state_dict(
+            {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False
+        )
+        assert not unexpected, unexpected
+        assert not missing, missing
+
+        with torch.no_grad():
+            y_ref = dec(
+                torch.from_numpy(np.asarray(en)).transpose(1, 2),
+                torch.from_numpy(np.asarray(F0)),
+                torch.from_numpy(np.asarray(norm)),
+                torch.from_numpy(np.asarray(s)),
+            ).squeeze(1).numpy()
+
+    y_jax = np.asarray(y_jax)
+    n = min(y_jax.shape[-1], y_ref.shape[-1])
+    scores = [
+        float(mcd(y_jax[b, :n], y_ref[b, :n], use_dtw=False))
+        for b in range(y_jax.shape[0])
+    ]
+    rel = float(
+        np.linalg.norm(y_jax[:, :n] - y_ref[:, :n])
+        / (np.linalg.norm(y_ref[:, :n]) + 1e-9)
+    )
+    return float(np.mean(scores)), scores, rel
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--torch-parity", action="store_true",
+                    help="also export to the reference torch decoder and "
+                         "measure cross-framework MCD on the trained weights")
     ap.add_argument("--out", default="/tmp/tiny_fidelity")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -140,6 +260,9 @@ def main():
 
     cfg = tiny_config()
     cfg.loss_params.TMA_epoch = 10 ** 9  # pre-TMA: pure mel reconstruction
+    # 3 dilations: required by the reference AdaINResBlock1 for the
+    # torch-parity export twin (and a closer production structure)
+    cfg.model_params.decoder.resblock_dilation_sizes = [[1, 3, 5]]
     models, state = tiny_training_setup(cfg)
     trainer = Stage1Trainer(cfg, models, state)
 
@@ -169,6 +292,11 @@ def main():
         "bf16_vs_f32_mcd_dB_trained": round(mcd1, 3),
         "bf16_vs_f32_mcd_dB_trained_per_item": [round(x, 3) for x in per_item],
     }
+    if args.torch_parity:
+        tp_mcd, tp_items, tp_rel = torch_parity_mcd(trainer, cfg, held_out)
+        result["torch_parity_mcd_dB_trained"] = round(tp_mcd, 3)
+        result["torch_parity_mcd_dB_per_item"] = [round(x, 3) for x in tp_items]
+        result["torch_parity_waveform_rel_err"] = round(tp_rel, 4)
     with open(os.path.join(args.out, "fidelity.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
