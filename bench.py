@@ -4,6 +4,9 @@ plus batched and fused-path throughput in "extra".
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline is single-stream RTF / 20 — the fraction of the ≥20× real-time
 per-chip north-star target (BASELINE.json); >1.0 beats the target.
+The headline value is the MEDIAN over STYLETTS2_BENCH_PROCS (default 3)
+process-separated runs; the spread is reported in extra.rtf_{min,max,runs}
+(the TPU tunnel drifts ±15-20% run-to-run).
 
 Measures the staged serving path on jax.default_backend(). Utterance length
 is pinned to ~8 s of speech via the speech-rate control so the fixed
@@ -16,6 +19,8 @@ single-dispatch fused path, and the opt-in bf16-decoder single-stream RTF.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 TARGET_AUDIO_SEC = 8.0
@@ -30,6 +35,64 @@ def _timed(fn, n):
         fn()
         lat.append(time.perf_counter() - t0)
     return np.asarray(lat)
+
+
+def _enable_compile_cache():
+    """Persistent compile cache keyed by host fingerprint so the extra
+    fresh-process headline runs skip recompilation (utils.host_cache_dir;
+    a foreign machine's AOT entries are invisible by construction)."""
+    import jax
+
+    from styletts2_tpu.utils import host_cache_dir
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", host_cache_dir())
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
+def _headline_once():
+    """One fresh-process single-stream measurement. Returns the stats dict
+    (worker mode prints it as JSON; the parent also calls this in-process
+    for run #1 and reuses the Synthesizer for the 'extra' measurements)."""
+    import numpy as np
+
+    from styletts2_tpu.config import Config
+    from styletts2_tpu.inference import Synthesizer
+
+    _enable_compile_cache()
+    cfg = Config()  # full-size LJSpeech istftnet config
+    syn = Synthesizer(cfg, seed=0)
+
+    text = (
+        "ðɪ kwˈɪk bɹˈaʊn fˈɑːks dʒˈʌmps ˈoʊvɚ ðə lˈeɪzi dˈɔːɡ, "
+        "ænd ðə sˈʌn sˈɛts slˈoʊli bɪhˈaɪnd ðə mˈaʊntənz."
+    )
+    steps = 5
+
+    # calibration call: natural duration of this text under these weights
+    wav, _ = syn.inference(text, diffusion_steps=steps, seed=0, pcm16=True)
+    natural_sec = len(wav) / 24000.0
+    speed = max(natural_sec / TARGET_AUDIO_SEC, 1.0)
+
+    def single():
+        return syn.inference(text, diffusion_steps=steps, seed=0, pcm16=True,
+                             speed=speed)[0]
+
+    wav = single()  # warm-up: compiles the target frame bucket
+    audio_sec = len(wav) / 24000.0
+    lat = _timed(single, 20)
+    stats = {
+        "rtf": round(audio_sec / float(np.mean(lat)), 3),
+        "audio_sec_per_utt": round(audio_sec, 2),
+        "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+        "latency_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
+        "latency_mean_ms": round(float(np.mean(lat)) * 1e3, 1),
+        "n_runs": 20,
+        "natural_uncalibrated_sec": round(natural_sec, 2),
+    }
+    return stats, syn, text, steps, speed
 
 
 def bench_extended():
@@ -166,37 +229,36 @@ def main():
     from styletts2_tpu.config import Config
     from styletts2_tpu.inference import Synthesizer
 
-    cfg = Config()  # full-size LJSpeech istftnet config
-    syn = Synthesizer(cfg, seed=0)
+    # Headline de-noising (round-4 VERDICT weak #6): the TPU tunnel shows
+    # ±15-20% run-to-run drift, so the headline is the MEDIAN single-stream
+    # RTF over N process-separated runs (this process + N-1 fresh worker
+    # subprocesses, compile cache shared via the host-keyed persistent
+    # cache). min/max/all-runs ride along in "extra".
+    stats, syn, text, steps, speed = _headline_once()
+    rtf_runs = [stats["rtf"]]
+    n_procs = max(int(os.environ.get("STYLETTS2_BENCH_PROCS", "3")), 1)
+    for _ in range(n_procs - 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-worker"],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            rtf_runs.append(json.loads(line)["rtf"])
+        except Exception as e:  # keep the headline robust to a worker loss
+            stats[f"worker_error_{len(rtf_runs)}"] = f"{type(e).__name__}: {e}"
+    rtf = float(np.median(rtf_runs))
 
-    text = (
-        "ðɪ kwˈɪk bɹˈaʊn fˈɑːks dʒˈʌmps ˈoʊvɚ ðə lˈeɪzi dˈɔːɡ, "
-        "ænd ðə sˈʌn sˈɛts slˈoʊli bɪhˈaɪnd ðə mˈaʊntənz."
-    )
-    steps = 5
-
-    # calibration call: natural duration of this text under these weights
-    wav, _ = syn.inference(text, diffusion_steps=steps, seed=0, pcm16=True)
-    natural_sec = len(wav) / 24000.0
-    speed = max(natural_sec / TARGET_AUDIO_SEC, 1.0)
-
-    def single():
-        return syn.inference(text, diffusion_steps=steps, seed=0, pcm16=True,
-                             speed=speed)[0]
-
-    wav = single()  # warm-up: compiles the target frame bucket
-    audio_sec = len(wav) / 24000.0
-    lat = _timed(single, 20)
-    rtf = audio_sec / float(np.mean(lat))
-
-    extra = {
-        "audio_sec_per_utt": round(audio_sec, 2),
-        "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
-        "latency_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
-        "latency_mean_ms": round(float(np.mean(lat)) * 1e3, 1),
-        "n_runs": 20,
-        "natural_uncalibrated_sec": round(natural_sec, 2),
-    }
+    extra = dict(stats)
+    del extra["rtf"]
+    extra.update({
+        "rtf_runs": rtf_runs,
+        "rtf_min": min(rtf_runs),
+        "rtf_max": max(rtf_runs),
+        "n_procs": len(rtf_runs),
+    })
+    audio_sec = stats["audio_sec_per_utt"]
 
     # batched serving: one fixed-shape program, 8 streams (VERDICT r2 #8)
     try:
@@ -234,7 +296,7 @@ def main():
     # opt-in bf16 decoder single-stream (fidelity budget discussion in
     # docs/PERFORMANCE.md; serving default stays f32)
     try:
-        syn16 = Synthesizer(cfg, seed=0, decoder_dtype="bfloat16")
+        syn16 = Synthesizer(Config(), seed=0, decoder_dtype="bfloat16")
 
         def single16():
             return syn16.inference(text, diffusion_steps=steps, seed=0,
@@ -267,7 +329,11 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("STYLETTS2_BENCH_FULL"):
+    if "--headline-worker" in sys.argv:
+        # fresh-process single-stream run for the median-of-N headline
+        stats, _, _, _, _ = _headline_once()
+        print(json.dumps(stats))
+    elif os.environ.get("STYLETTS2_BENCH_FULL"):
         # extended matrix only (BASELINE configs 2-4); results are committed
         # to BENCH_EXTENDED.json — the driver's single-line contract runs
         # main() below instead

@@ -50,6 +50,9 @@ def main():
                     help="production widths (batch 16, max_len 400, real WavLM)")
     ap.add_argument("--mp", choices=["", "bf16"], default="",
                     help="mixed-precision mode for the trainers")
+    ap.add_argument("--exact-init", action="store_true",
+                    help="exact flax init instead of the fast eval_shape+"
+                         "numpy init (throughput does not depend on it)")
     args = ap.parse_args()
 
     import numpy as np
@@ -82,15 +85,21 @@ def main():
 
         from styletts2_tpu.models.build import (
             build_training_models,
+            fast_init_training_params,
             init_training_params,
         )
         from styletts2_tpu.train.run import MODULE_KEYS
         from styletts2_tpu.train.state import TrainState, build_module_optimizers
 
         models = build_training_models(cfg)
-        # init_training_params already lands initializers on the host CPU
-        # when a non-CPU backend is default (models/build.py:189-191)
-        variables = init_training_params(models, jax.random.PRNGKey(0), cfg)
+        if args.exact_init:
+            # init_training_params lands initializers on the host CPU when
+            # a non-CPU backend is default (models/build.py:189-191)
+            variables = init_training_params(models, jax.random.PRNGKey(0), cfg)
+        else:
+            # throughput is weight-value independent (static shapes/FLOPs);
+            # eval_shape+numpy init skips minutes of eager init wall
+            variables = fast_init_training_params(models, cfg)
         txs = build_module_optimizers(cfg, MODULE_KEYS, stage2=(args.stage == "second"))
         state = TrainState.create(variables, txs)
         # ≥402 mel frames → full 200-frame clips; bucket covers the longest

@@ -594,17 +594,20 @@ class Synthesizer:
         diffusion_steps: int = 5,
         embedding_scale: float = 1.0,
         seed: int = 0,
+        speed: float = 1.0,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Long-form segment synthesis with style carry-over
         (LibriTTS cell 42 / LJSpeech cell 29). The reference LFinference
         never applies the +5 last-token duration pad (that is plain
-        `inference` only, LJSpeech cell 17), so it is disabled here too."""
+        `inference` only, LJSpeech cell 17), so it is disabled here too.
+        `speed` is this framework's speech-rate extension, plumbed through
+        to `inference` so paragraph synthesis can be rate-controlled."""
         wav, s_pred = self.inference(
             text, ref_s=ref_s, alpha=alpha, beta=beta,
             diffusion_steps=diffusion_steps, embedding_scale=embedding_scale,
             seed=seed, s_prev=s_prev, s_prev_weight=t if s_prev is not None else 0.0,
             trim_samples=100 if self.multispeaker else 0,
-            pad_last_token=False,
+            pad_last_token=False, speed=speed,
         )
         return wav, s_pred
 
@@ -635,9 +638,10 @@ class Synthesizer:
 
         sentences = [s.strip() for s in re.split(r"(?<=[.!?…])\s+", text) if s.strip()]
         s_prev, wavs = None, []
+        seed0 = kw.pop("seed", 0)
         for i, sent in enumerate(sentences):
             wav, s_prev = self.LFinference(
-                sent, s_prev, ref_s=ref_s, t=t, seed=kw.pop("seed", 0) + i, **kw
+                sent, s_prev, ref_s=ref_s, t=t, seed=seed0 + i, **kw
             )
             wavs.append(wav)
         return np.concatenate(wavs) if wavs else np.zeros(0, np.float32)

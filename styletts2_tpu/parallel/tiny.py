@@ -49,7 +49,9 @@ def tiny_config() -> Config:
     return cfg
 
 
-def tiny_models_and_variables(cfg: Config, style_repeat: int = 4):
+def tiny_models_and_variables(
+    cfg: Config, style_repeat: int = 4, fast_init: bool = False
+):
     """(models, variables) with a shrunk frozen WavLM, mirroring the
     unit-test configuration. Param init is the expensive half (~1500 tiny
     eager programs on a 1-core host) — callers that need BOTH stage
@@ -58,10 +60,19 @@ def tiny_models_and_variables(cfg: Config, style_repeat: int = 4):
     style_repeat<4 shrinks the StyleEncoder's stride-2 stage count (same
     multiplicity-reduction rule as the mpd/aligner below), lowering its
     minimum clip width from 80 to 5*2^r mel frames — the dryrun uses 3 so
-    its 24-frame (48-mel) clip bucket fits."""
+    its 24-frame (48-mel) clip bucket fits.
+
+    fast_init=True materializes the params host-side from an eval_shape
+    trace (zero XLA programs, build.fast_init_training_params) — used by
+    the dry run, where eager init dominated cold wall-clock. Tests keep
+    the exact flax init."""
     import jax
 
-    from styletts2_tpu.models.build import build_training_models, init_training_params
+    from styletts2_tpu.models.build import (
+        build_training_models,
+        fast_init_training_params,
+        init_training_params,
+    )
     from styletts2_tpu.models.style_encoder import StyleEncoder
     from styletts2_tpu.models.wavlm import WavLM
 
@@ -87,7 +98,10 @@ def tiny_models_and_variables(cfg: Config, style_repeat: int = 4):
             max_conv_dim=mp.hidden_dim, repeat_num=style_repeat,
         ),
     )
-    variables = init_training_params(models, jax.random.PRNGKey(0), cfg)
+    if fast_init:
+        variables = fast_init_training_params(models, cfg)
+    else:
+        variables = init_training_params(models, jax.random.PRNGKey(0), cfg)
     return models, variables
 
 
@@ -112,6 +126,10 @@ def synthetic_batch(rng, B: int, wav_len: int = 27000, bucket: int = 48000,
     """Random batch in the dataloader's Batch layout (data/meldataset.py)."""
     from styletts2_tpu.data.meldataset import Batch
 
+    # the per-item length ramp must fit the bucket for ANY B (a 16-device
+    # dp-heavy mesh reaches B=8 here); grow the bucket rather than silently
+    # clipping item lengths
+    bucket = max(bucket, wav_len + (B - 1) * 1500)
     waves = np.zeros((B, bucket), np.float32)
     wave_lengths = np.zeros(B, np.int32)
     mel_lengths = np.zeros(B, np.int32)
@@ -124,11 +142,12 @@ def synthetic_batch(rng, B: int, wav_len: int = 27000, bucket: int = 48000,
     tokens = np.zeros((B, T_buf), np.int32)
     tokens[:, :T_text] = rng.integers(4, 178, (B, T_text))
     input_lengths = np.full(B, T_text, np.int32)
+    ref_len = min(24000, bucket)
     return Batch(
         waves=waves, wave_lengths=wave_lengths, tokens=tokens,
         input_lengths=input_lengths, ref_tokens=tokens,
         ref_lengths=input_lengths, mel_lengths=mel_lengths,
-        ref_waves=waves[:, :24000].copy(),
-        ref_wave_lengths=np.full(B, 24000, np.int32),
+        ref_waves=waves[:, :ref_len].copy(),
+        ref_wave_lengths=np.minimum(wave_lengths, ref_len).astype(np.int32),
         speakers=np.zeros(B, np.int32),
     )

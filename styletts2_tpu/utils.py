@@ -141,3 +141,36 @@ def resample_sinc(
         # Σ_m H[m, r]·xp[q − m + taps]  ==  win[q + 1] @ H[::-1, r]
         out[js] = win[q + 1] @ H[::-1, r]
     return out
+
+
+def host_cache_dir(base: str = "/root/repo/.jax_cache") -> str:
+    """Persistent-compile-cache dir keyed by a host fingerprint.
+
+    XLA:CPU AOT executables embed the compile machine's CPU feature set;
+    loading them on a different host spams cpu_aot_loader errors and risks
+    SIGILL (this burned the round-4 multichip artifact: the driver machine
+    loaded a cache compiled on the builder machine). Keying the directory
+    by cpuinfo flags + jaxlib version makes a foreign cache invisible
+    instead of poisonous."""
+    import hashlib
+    import os
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line.strip()
+                    break
+    except OSError:
+        flags = platform.processor()
+    try:
+        import jaxlib
+
+        jl = jaxlib.__version__
+    except Exception:
+        jl = "?"
+    key = f"{flags}|{jl}|{platform.machine()}"
+    h = hashlib.sha256(key.encode()).hexdigest()[:12]
+    return os.path.join(base, h)

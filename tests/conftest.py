@@ -19,7 +19,11 @@ jax.config.update("jax_platforms", "cpu")
 # re-compiles; without it the cache dir stays cold).
 # STYLETTS2_NO_CACHE=1 opts out entirely (debugging compile behavior).
 if os.environ.get("STYLETTS2_NO_CACHE") != "1":
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # keyed by host fingerprint: XLA:CPU AOT entries compiled on another
+    # machine must never load here (cpu_aot_loader SIGILL risk)
+    from styletts2_tpu.utils import host_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", host_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     try:
         jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
