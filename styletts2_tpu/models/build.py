@@ -292,17 +292,21 @@ def _fi_fill(tree, rng, path=()):
             g is not None and v is not None
             and getattr(g, "ndim", None) == 1 and getattr(v, "ndim", 0) >= 2
         ):
-            # weight-norm pairing: torch init sets g = ||v|| per channel
-            # (output channel = last kernel axis; ConvTranspose gains are
-            # per *input* channel, torch dim=0 semantics — layers.py:168)
+            # weight-norm pairing: torch init sets g = ||v|| per channel.
+            # WNConv1d kernels are (k, in, out) with g per OUT channel and
+            # the norm over all other axes (layers.py:119);
+            # WNConvTranspose1d (and the depthwise pool convs) carry g per
+            # FIRST axis with the norm over the rest (torch dim=0
+            # semantics, layers.py:176)
             v64 = v.astype(np.float64)
             if g.size == v.shape[-1]:
                 out["g"] = np.sqrt(
                     (v64**2).reshape(-1, v.shape[-1]).sum(0)
                 ).astype(g.dtype)
-            elif g.size == v.shape[-2]:
-                axes = tuple(i for i in range(v.ndim) if i != v.ndim - 2)
-                out["g"] = np.sqrt((v64**2).sum(axis=axes)).astype(g.dtype)
+            elif g.size == v.shape[0]:
+                out["g"] = np.sqrt(
+                    (v64**2).reshape(v.shape[0], -1).sum(1)
+                ).astype(g.dtype)
         return out
     return _fi_leaf(tree, path, rng)
 

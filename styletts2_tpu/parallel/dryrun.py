@@ -64,11 +64,12 @@ def run_dryrun(n_devices: int) -> None:
     # collective rendezvous; 18 threads, 0% CPU). Reload of full sharded
     # trainer executables is therefore treated as UNSAFE/racy, matching the
     # round-3 bisect (toy GSPMD programs reload fine, the full trainer does
-    # not). Policy: cache ON for the ~1500 single-device init programs
-    # (reload-proven, the biggest fixed cost), OFF before any mesh-sharded
-    # program compiles. The sharded compiles stay cold but now run at full
-    # LLVM opt: -O0 saved only ~9% compile (97→88.6 s) while costing ~70%
-    # more execute (208→349 s) — removed in round 4.
+    # not). The sharded compiles stay cold; since round 5 the subprocess
+    # runs them at -O0 (injected by __graft_entry__): at the shrunk 12-frame
+    # dryrun shapes execution is dispatch/rendezvous-bound, so -O0 cut the
+    # stage-2 compile 337.6→187.9 s AND its execute 258→141 s (round 4 had
+    # removed -O0 from a larger-shape measurement where it cost ~70% more
+    # execute, 208→349 s).
     # Round-5 change (VERDICT round-4 "do this" #1): param init no longer
     # compiles ANYTHING — tiny.py materializes the variables host-side from
     # an eval_shape trace (fast_init) — so the persistent cache, which only
@@ -128,22 +129,24 @@ def run_dryrun(n_devices: int) -> None:
     rng = np.random.default_rng(0)
     if small:
         # minimum shapes that keep every compiled subgraph alive: mel halves
-        # land ≥25 so the shrunk 24-frame clip bucket engages (see
-        # clip_frame_bucket below); text buffer 16 halves the ASRS2S decode
-        # scan vs the unit-test default of 32
-        batch = synthetic_batch(rng, B, wav_len=15600, bucket=17400,
-                                T_text=10, T_buf=16)
+        # land ≥13 so the 12-frame clip bucket engages (see clip_frame_bucket
+        # below); text buffer 12 shortens the ASRS2S decode scan vs the
+        # unit-test default of 32
+        batch = synthetic_batch(rng, B, wav_len=8400, bucket=9900,
+                                T_text=8, T_buf=12)
     else:
         batch = synthetic_batch(rng, B)
 
     def shrink_cfg(cfg):
         if small:
-            # 24-frame decoder/GAN clips (0.36 s) instead of the production
+            # 12-frame decoder/GAN clips (0.18 s) instead of the production
             # 40-frame bucket: the decoder/MPD/MRSD/WavLM subgraphs — the
             # bulk of the per-device step work on this 1-core host — shrink
-            # ~40% while every loss and sharding rule stays live
-            cfg.clip_frame_bucket = 24
-            cfg.max_len = 48
+            # ~70% while every loss and sharding rule stays live (the
+            # style-encoder floor is 20 mel frames at style_repeat=2, under
+            # the 24-mel clips)
+            cfg.clip_frame_bucket = 12
+            cfg.max_len = 24
         return cfg
     stages = os.environ.get("STYLETTS2_DRYRUN_STAGES", "first,second").split(",")
 
@@ -163,10 +166,11 @@ def run_dryrun(n_devices: int) -> None:
     # round 4 (~570 s cold / ~50 s warm on this 1-core host).
     _mark("building models + fast (eval_shape+numpy) param init")
     base_cfg = tiny_config()
-    # style_repeat=3 lowers the StyleEncoder clip floor to 40 mel frames so
-    # the 24-frame clip bucket fits (multiplicity shrink, parallel/tiny.py)
+    # style_repeat=2 lowers the StyleEncoder clip floor to 20 mel frames so
+    # the 12-frame (24-mel) clip bucket fits (multiplicity shrink,
+    # parallel/tiny.py — same rule as the mpd/aligner repeat cuts)
     models, variables = tiny_models_and_variables(
-        base_cfg, style_repeat=3 if small else 4, fast_init=True
+        base_cfg, style_repeat=2 if small else 4, fast_init=True
     )
     _cache(False)  # cache stays OFF for mesh-sharded programs (see NOTE)
 
@@ -193,11 +197,11 @@ def run_dryrun(n_devices: int) -> None:
         cfg.loss_params.diff_epoch = 0
         cfg.loss_params.joint_epoch = 0  # joint: diffusion + SLM-adv live
         if small:
-            # SLM-adversarial synthesis budget: 72 frames instead of 120
-            # (the path stays live end-to-end; only the static frame count
-            # of the OOD synthesis + WavLM subgraphs shrinks)
-            cfg.slmadv_params.min_len = 32
-            cfg.slmadv_params.max_len = 48
+            # SLM-adversarial synthesis budget: 16-24 frames instead of
+            # 80-120 (the path stays live end-to-end; only the static frame
+            # count of the OOD synthesis + WavLM subgraphs shrinks)
+            cfg.slmadv_params.min_len = 16
+            cfg.slmadv_params.max_len = 24
         state = tiny_state(cfg, variables, stage2=True)
         trainer = Stage2Trainer(cfg, models, state, mesh=mesh)
         _mark("stage2: compiling + running the jitted train step")
