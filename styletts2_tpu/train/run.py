@@ -27,7 +27,12 @@ import yaml
 from styletts2_tpu.config import Config, load_config
 from styletts2_tpu.data.meldataset import build_dataloader
 from styletts2_tpu.models.build import build_training_models, init_training_params
-from styletts2_tpu.observability import MetricsWriter, StepTimer, get_logger
+from styletts2_tpu.observability import (
+    MetricsWriter,
+    StepTimer,
+    get_logger,
+    nan_check,
+)
 from styletts2_tpu.train.state import (
     TrainState,
     build_module_optimizers,
@@ -221,6 +226,12 @@ def run_stage(stage: str, config_path: str, max_steps: int | None = None):
 
     rng = np.random.default_rng(1)
     timer = StepTimer()
+    # STYLETTS2_DEBUG_NAN=1: stop on the first non-finite step metric and
+    # report which params/metrics went bad — the debug-mode replacement for
+    # the reference's NaN set_trace hook (train_second.py:455-457). Off by
+    # default: the check syncs metrics to host every step (they are fetched
+    # for logging anyway, so the cost is an early stop, not extra work).
+    debug_nan = os.environ.get("STYLETTS2_DEBUG_NAN") == "1"
     iters = 0
     for epoch in range(state.epoch, epochs):
         for i, batch in enumerate(train_loader):
@@ -232,6 +243,21 @@ def run_stage(stage: str, config_path: str, max_steps: int | None = None):
             dt = timer.stop()
             if m is None:
                 continue
+            if debug_nan and not nan_check(m, logger):
+                bad_params = [
+                    jax.tree_util.keystr(p)
+                    for p, x in jax.tree_util.tree_flatten_with_path(
+                        trainer.state.params
+                    )[0]
+                    if not bool(np.all(np.isfinite(np.asarray(x))))
+                ]
+                logger.error(
+                    f"non-finite metrics at epoch {epoch} it {iters}: {m}; "
+                    f"non-finite params: {bad_params[:20]}"
+                )
+                raise FloatingPointError(
+                    f"NaN/Inf detected at iter {iters} (STYLETTS2_DEBUG_NAN)"
+                )
             iters += 1
             if iters % cfg.log_interval == 0:
                 m["step_sec"] = dt
