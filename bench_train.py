@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--exact-init", action="store_true",
                     help="exact flax init instead of the fast eval_shape+"
                          "numpy init (throughput does not depend on it)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the decoder (config.remat_decoder): "
+                         "trades one extra decoder forward for dropping its "
+                         "24 kHz activations — required for batch 16 f32 on "
+                         "a single 16 G chip")
     args = ap.parse_args()
 
     import numpy as np
@@ -79,6 +84,7 @@ def main():
         # (reference Configs/config.yml:5-7), full WavLM widths
         cfg = Config()
         cfg.mixed_precision = args.mp
+        cfg.remat_decoder = args.remat
         import dataclasses
 
         import jax.numpy as jnp
@@ -108,6 +114,7 @@ def main():
     else:
         cfg = tiny_config()
         cfg.mixed_precision = args.mp
+        cfg.remat_decoder = args.remat
         models, state = tiny_training_setup(cfg, stage2=(args.stage == "second"))
         wav_len, bucket = 27000, 48000
 

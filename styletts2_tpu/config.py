@@ -203,6 +203,12 @@ class Config:
     # matches the reference's practical minimum; the multi-chip dryrun
     # shrinks it to cut the 1-core step cost (parallel/dryrun.py).
     clip_frame_bucket: int = 40
+    # Rematerialize (jax.checkpoint) the decoder in training steps: its
+    # 24 kHz-rate activations dominate step memory (a batch-16 max_len-400
+    # f32 stage-1 step needs ~25 G HBM without remat vs ~16 G per v5e chip);
+    # remat trades one extra decoder forward for dropping them all. Training
+    # only — inference never differentiates, so the flag has no effect there.
+    remat_decoder: bool = False
 
     F0_path: str = "Utils/JDC/bst.t7"
     ASR_config: str = "Utils/ASR/config.yml"

@@ -54,8 +54,17 @@ class Models:
 
 def build_models(cfg: Config) -> Models:
     mp = cfg.model_params
+    # cfg.remat_decoder: rematerialize the decoder's Generator (the 24 kHz
+    # part, where training-step activation memory lives) in backward passes.
+    # Scoped INSIDE the decoder (Decoder.remat) rather than nn.remat over
+    # the whole module: whole-decoder remat trips an XLA:TPU
+    # post-optimization bitcast bug on the F0 broadcast, and the `train`
+    # python bool would need static_argnums plumbing. Identical param
+    # pytree; forward-only apply (inference) is unchanged.
+    remat = bool(getattr(cfg, "remat_decoder", False))
     if mp.decoder.type == "istftnet":
         decoder = ISTFTNetDecoder(
+            remat=remat,
             dim_in=mp.hidden_dim,
             style_dim=mp.style_dim,
             resblock_kernel_sizes=tuple(mp.decoder.resblock_kernel_sizes),
@@ -70,6 +79,7 @@ def build_models(cfg: Config) -> Models:
         from styletts2_tpu.models.decoder_hifigan import Decoder as HiFiGANDecoder
 
         decoder = HiFiGANDecoder(
+            remat=remat,
             dim_in=mp.hidden_dim,
             style_dim=mp.style_dim,
             resblock_kernel_sizes=tuple(mp.decoder.resblock_kernel_sizes),
@@ -146,6 +156,12 @@ def build_training_models(cfg: Config) -> TrainingModels:
 
     base = build_models(cfg)
     mp = cfg.model_params
+    # NOTE: remat-ing the discriminators was measured and REJECTED — the
+    # remat barriers block fusion in the MRSD's 2048-FFT branch and step
+    # memory balloons 18.3 -> 38.8 G at batch 16 / max_len 400 f32. Only
+    # the decoder Generator is rematerialized (cfg.remat_decoder,
+    # build_models); at f32 the remaining MRSD conv temps bound the
+    # per-chip batch at 8 (the reference's DDP recipe is 4 per 40 G A100).
     return TrainingModels(
         **{f.name: getattr(base, f.name) for f in dataclasses.fields(Models)},
         text_aligner=ASRCNN(),
@@ -220,7 +236,10 @@ def _init_params_impl(models: Models, key: jax.Array, cfg: Config) -> Dict[str, 
     params["style_encoder"] = models.style_encoder.init(ks[4], mel)
     params["predictor_encoder"] = models.predictor_encoder.init(ks[5], mel)
     params["decoder"] = models.decoder.init(
-        {"params": ks[6], "noise": ks[6]}, asr, f0, jnp.zeros((B, T_mel)), style
+        # `train` positional: required when cfg.remat_decoder lifts the
+        # decoder with static_argnums=(5,)
+        {"params": ks[6], "noise": ks[6]}, asr, f0, jnp.zeros((B, T_mel)),
+        style, False,
     )
     params["diffusion"] = models.diffusion.init(
         ks[7],

@@ -107,6 +107,9 @@ class Decoder(nn.Module):
     resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     upsample_kernel_sizes: Sequence[int] = (20, 10, 6, 4)
     bottleneck: int = 1024
+    # rematerialize the Generator in backward passes (config.remat_decoder;
+    # see decoder_istft.Decoder.remat for scope rationale)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, asr, f0_curve, n_curve, s, train: bool = False):
@@ -149,7 +152,8 @@ class Decoder(nn.Module):
             x = jnp.concatenate([x, asr_res, F0, N], axis=-1)
             x = AdainResBlk1d(dim_out, upsample=up, name=f"decode_{bi}")(x, s, train=train)
 
-        return Generator(
+        gen_cls = nn.remat(Generator) if self.remat else Generator
+        return gen_cls(
             style_dim=self.style_dim,
             resblock_kernel_sizes=tuple(self.resblock_kernel_sizes),
             upsample_rates=tuple(self.upsample_rates),

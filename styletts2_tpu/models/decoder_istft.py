@@ -263,6 +263,13 @@ class Decoder(nn.Module):
     gen_istft_n_fft: int = 20
     gen_istft_hop_size: int = 5
     bottleneck: int = 1024  # reference hardcodes 1024 (istftnet.py:479-484)
+    # rematerialize the Generator in backward passes (config.remat_decoder):
+    # its 24 kHz activations dominate training-step memory (batch-16
+    # max_len-400 f32 stage-1 needs ~25 G HBM without it vs ~16 G per v5e
+    # chip). Scoped to the Generator only — wrapping the whole Decoder trips
+    # an XLA:TPU post-optimization bitcast bug on the F0 broadcast under
+    # remat's optimization barriers.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, asr, f0_curve, n_curve, s, train: bool = False):
@@ -306,7 +313,8 @@ class Decoder(nn.Module):
             x = jnp.concatenate([x, asr_res, F0, N], axis=-1)
             x = AdainResBlk1d(dim_out, upsample=up, name=f"decode_{bi}")(x, s, train=train)
 
-        return Generator(
+        gen_cls = nn.remat(Generator) if self.remat else Generator
+        return gen_cls(
             style_dim=self.style_dim,
             resblock_kernel_sizes=tuple(self.resblock_kernel_sizes),
             upsample_rates=tuple(self.upsample_rates),

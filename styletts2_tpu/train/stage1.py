@@ -167,10 +167,12 @@ class Stage1Trainer:
             mutable=["spectral"] if train else [],
         )
         se_mut = cast_tree(se_mut, jnp.float32)  # SN u vectors stored f32
+        # `train` passed positionally: under cfg.remat_decoder the decoder
+        # is nn.remat-lifted with static_argnums=(5,) (models/build.py)
         y_rec = models.decoder.apply(
             {"params": params["decoder"]}, cast_in(en, mpa),
             cast_in(F0_real, mpa), cast_in(real_norm, mpa), s,
-            train=train, rngs={"noise": k_noise},
+            train, rngs={"noise": k_noise},
         )
         aux = {
             "s2s_pred": s2s_pred,

@@ -304,10 +304,13 @@ class Stage2Trainer:
             F0_real = sg(F0_real)
             N_real = sg(log_norm(gt))
             en_c = cast_in(en, self.mp)
+            # `train` positional everywhere the decoder is applied in the
+            # trainers: cfg.remat_decoder lifts it through nn.remat with
+            # static_argnums=(5,) (models/build.py)
             y_rec_gt_pred = sg(
                 models.decoder.apply(
                     {"params": sg(p["decoder"])}, en_c, cast_in(F0_real, self.mp),
-                    cast_in(N_real, self.mp), sg(s_clip),
+                    cast_in(N_real, self.mp), sg(s_clip), False,
                     rngs={"noise": k_dec},
                 )
             )
@@ -320,7 +323,7 @@ class Stage2Trainer:
             y_rec = models.decoder.apply(
                 {"params": p["decoder"]}, en_c, cast_in(F0_fake, self.mp),
                 cast_in(N_fake, self.mp), s_clip,
-                train=joint_on, rngs={"noise": k_dec2},
+                joint_on, rngs={"noise": k_dec2},
             )
 
             loss_F0 = L.smooth_l1(F0_real, F0_fake) / 10.0
@@ -462,7 +465,7 @@ class Stage2Trainer:
             y_pred = models.decoder.apply(
                 {"params": dec_wl["decoder"]}, cast_in(en, self.mp),
                 cast_in(F0_fake, self.mp), cast_in(N_fake, self.mp),
-                cast_in(s_ac, self.mp),
+                cast_in(s_ac, self.mp), False,
                 rngs={"noise": k_start2},
             )
             # generator LSGAN loss through frozen WavLM + wd head
@@ -729,7 +732,7 @@ class Stage2Trainer:
                 {"params": p["predictor"]}, p_en, s_dur_clip, method="F0Ntrain"
             )
             y_rec = models.decoder.apply(
-                {"params": p["decoder"]}, en, F0_fake, N_fake, s_clip,
+                {"params": p["decoder"]}, en, F0_fake, N_fake, s_clip, False,
                 rngs={"noise": key},
             )
             dur_pred_sum = jax.nn.sigmoid(dur_logits).sum(-1)
@@ -871,7 +874,7 @@ class Stage2Trainer:
                 {"params": p["predictor"]}, p_en, s_dur_clip, method="F0Ntrain"
             )
             y_rec = models.decoder.apply(
-                {"params": p["decoder"]}, en, F0_fake, N_fake, s_clip,
+                {"params": p["decoder"]}, en, F0_fake, N_fake, s_clip, False,
                 rngs={"noise": key},
             )
             return y_rec, wav_clip
@@ -963,7 +966,7 @@ class Stage2Trainer:
             )
             asr = jnp.einsum("btc,btf->bfc", t_en, aln)
             return models.decoder.apply(
-                {"params": p["decoder"]}, asr, F0_pred, N_pred, ref,
+                {"params": p["decoder"]}, asr, F0_pred, N_pred, ref, False,
                 rngs={"noise": key},
             )
 
