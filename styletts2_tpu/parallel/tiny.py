@@ -115,9 +115,16 @@ def tiny_state(cfg: Config, variables, stage2: bool = False):
     return TrainState.create(variables, txs)
 
 
-def tiny_training_setup(cfg: Config, stage2: bool = False):
-    """(models, state): one-stop setup for tests/benches."""
-    models, variables = tiny_models_and_variables(cfg)
+def tiny_training_setup(cfg: Config, stage2: bool = False,
+                        fast_init: bool = False):
+    """(models, state): one-stop setup for tests/benches.
+
+    fast_init forwards to tiny_models_and_variables — host-side numpy init
+    with zero XLA programs. On the tunneled TPU backend the exact flax init
+    dispatches ~1500 remote compiles (slow and failure-prone); tools that
+    only need distributionally-correct weights should pass fast_init=True
+    (parity with the exact init is asserted in tests/test_fast_init.py)."""
+    models, variables = tiny_models_and_variables(cfg, fast_init=fast_init)
     return models, tiny_state(cfg, variables, stage2=stage2)
 
 

@@ -263,7 +263,11 @@ def main():
     # 3 dilations: required by the reference AdaINResBlock1 for the
     # torch-parity export twin (and a closer production structure)
     cfg.model_params.decoder.resblock_dilation_sizes = [[1, 3, 5]]
-    models, state = tiny_training_setup(cfg)
+    # fast_init: the exact flax init dispatches ~1500 programs through the
+    # tunneled remote-compile path (observed to die mid-init on tunnel
+    # resets); the numpy fast init is distributionally identical
+    # (tests/test_fast_init.py) and compiles nothing.
+    models, state = tiny_training_setup(cfg, fast_init=True)
     trainer = Stage1Trainer(cfg, models, state)
 
     rng = np.random.default_rng(3)
